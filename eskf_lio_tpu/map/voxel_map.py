@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from eskf_lio_tpu.ops import voxel as vx
+from eskf_lio_tpu.ops.hash_table import find_or_alloc as _find_or_alloc
+from eskf_lio_tpu.ops.hash_table import probe_lookup as _probe_lookup
 
 _INT_MAX = jnp.int32(2147483647)
 
@@ -87,79 +89,6 @@ class VoxelMap(NamedTuple):
 
     def num_voxels(self) -> jnp.ndarray:
         return jnp.sum(self.occupied.astype(jnp.int32))
-
-
-# ---------------------------------------------------------------------------
-# slot resolution: find-or-allocate via contended scatter-min rounds
-# ---------------------------------------------------------------------------
-
-
-def _find_or_alloc(
-    table_keys: jnp.ndarray,
-    occupied: jnp.ndarray,
-    query_keys: jnp.ndarray,
-    query_valid: jnp.ndarray,
-    max_probe: int,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Resolve a slot for each (unique) query key, allocating empty slots.
-
-    Returns (table_keys, occupied, slot[Q] int32 with -1 for unresolved).
-    Deterministic: contention for an empty slot is broken by scatter-min on
-    the query index.  Queries sharing a key (possible when the caller's
-    grouping hash collides) converge onto the same slot: the loser of the
-    claim race finds the winner's identical key on re-check.
-    """
-    capacity = table_keys.shape[0]
-    mask = jnp.int32(capacity - 1)
-    q = query_keys.shape[0]
-    base = vx.slot_hash(query_keys) & mask
-
-    slot_out = jnp.full((q,), -1, jnp.int32)
-    probe = jnp.zeros((q,), jnp.int32)
-    unresolved = query_valid
-
-    def round_body(_, carry):
-        table_keys, occupied, slot_out, probe, unresolved = carry
-        slot = (base + probe) & mask
-        slot_keys = table_keys[slot]
-        slot_occ = occupied[slot]
-        match = jnp.logical_and(slot_occ, vx.keys_equal(slot_keys, query_keys))
-
-        found = jnp.logical_and(unresolved, match)
-        slot_out = jnp.where(found, slot, slot_out)
-        unresolved = jnp.logical_and(unresolved, ~match)
-
-        # claim attempt on empty slots
-        want = jnp.logical_and(unresolved, ~slot_occ)
-        ticket = jnp.full((capacity,), _INT_MAX, jnp.int32)
-        qidx = jnp.arange(q, dtype=jnp.int32)
-        ticket = ticket.at[jnp.where(want, slot, capacity - 1)].min(
-            jnp.where(want, qidx, _INT_MAX)
-        )
-        won = jnp.logical_and(want, ticket[slot] == qidx)
-        # out-of-bounds scatter indices are dropped -> losers write nothing
-        claim_idx = jnp.where(won, slot, capacity)
-        table_keys = table_keys.at[claim_idx].set(query_keys, mode="drop")
-        occupied = occupied.at[claim_idx].set(True, mode="drop")
-        slot_out = jnp.where(won, slot, slot_out)
-        unresolved = jnp.logical_and(unresolved, ~won)
-
-        # losers whose slot was empty retry the SAME slot next round (the
-        # winner's key may equal theirs); occupied-mismatch advances.
-        advance = jnp.logical_and(unresolved, jnp.logical_and(slot_occ, ~match))
-        probe = probe + advance.astype(jnp.int32)
-        # probe distance must stay below max_probe or lookups (which probe
-        # exactly max_probe slots) would miss the entry: give up instead.
-        unresolved = jnp.logical_and(unresolved, probe < max_probe)
-        return table_keys, occupied, slot_out, probe, unresolved
-
-    table_keys, occupied, slot_out, probe, unresolved = jax.lax.fori_loop(
-        0,
-        2 * max_probe,  # claim-retry rounds may not advance the probe
-        round_body,
-        (table_keys, occupied, slot_out, probe, unresolved),
-    )
-    return table_keys, occupied, slot_out
 
 
 # ---------------------------------------------------------------------------
@@ -290,31 +219,8 @@ def lookup(
 
     Returns (mean [N,3], cov_packed [N,6], hit [N] bool).
     """
-    capacity = vmap.capacity
-    mask = jnp.int32(capacity - 1)
     keys = vx.voxel_key(points, voxel_size)
-    base = vx.slot_hash(keys) & mask
-
-    n = points.shape[0]
-    found_slot = jnp.full((n,), 0, jnp.int32)
-    hit = jnp.zeros((n,), bool)
-    live = jnp.ones((n,), bool)  # still probing
-
-    def body(i, carry):
-        found_slot, hit, live = carry
-        slot = (base + i) & mask
-        occ = vmap.occupied[slot]
-        match = jnp.logical_and(occ, vx.keys_equal(vmap.keys[slot], keys))
-        new_hit = jnp.logical_and(live, match)
-        found_slot = jnp.where(new_hit, slot, found_slot)
-        hit = jnp.logical_or(hit, new_hit)
-        # stop probing on match or on empty slot (chain end)
-        live = jnp.logical_and(live, jnp.logical_and(occ, ~match))
-        return found_slot, hit, live
-
-    found_slot, hit, _ = jax.lax.fori_loop(
-        0, max_probe, body, (found_slot, hit, live)
-    )
+    found_slot, hit = _probe_lookup(vmap.keys, vmap.occupied, keys, max_probe)
     return vmap.mean[found_slot], vmap.cov[found_slot], hit
 
 
