@@ -135,16 +135,23 @@ def converged_check(
 
 def align(
     scan: ProcessedScan,
-    voxmap: vm.VoxelMap,
+    voxmap: vm.VoxelMap | None,
     guess: Pose,
     config: Config,
     lookup_fn: Callable | None = None,
+    reduce_fn: Callable | None = None,
 ) -> AlignResult:
     """Iterated GN alignment (`ICP::align`, `Registration.cpp:7-35`).
 
     `lookup_fn(points_world) -> (mu [N,3], cov [N,3,3], hit [N])` defaults to
-    the local single-device map lookup; the sharded path passes a shard_map-
-    aware closure instead.
+    the local single-device map lookup; the sharded path passes a closure
+    probing only the caller's map shard (hit=False off-shard).
+
+    `reduce_fn(JTJ, JTr, num_corr) -> (JTJ, JTr, num_corr)` is identity by
+    default; under shard_map the sharded path passes a psum over the mesh
+    axis, turning per-device partial normal equations into the global ones —
+    the Schur-trick that keeps per-point work local and ships only 6×6+6
+    floats over ICI per GN iteration.
     """
     if lookup_fn is None:
         def lookup_fn(pts):
@@ -155,6 +162,10 @@ def align(
                 max_probe=config.max_probe,
             )
             return mu, vm.unpack_cov(cov_packed), hit
+
+    if reduce_fn is None:
+        def reduce_fn(JTJ, JTr, num_corr):
+            return JTJ, JTr, num_corr
 
     covs = scan.covs
 
@@ -170,6 +181,7 @@ def align(
         num_corr = jnp.sum(mask.astype(jnp.int32))
 
         JTJ, JTr = normal_equations(pts_w, covs_w, mu, cov_map, mask)
+        JTJ, JTr, num_corr = reduce_fn(JTJ, JTr, num_corr)
         R_d, t_d = solve_increment(JTJ, JTr, num_corr)
 
         # left-compose (`Registration.cpp:19`)

@@ -224,12 +224,17 @@ def downsample_and_covariances(
         axis=-2,
     )  # [K, 3, 3]
 
-    # <3 neighbours -> identity (ref `CloudPreprocessor.cpp:113-116`)
+    cov_reg = eig3.plane_regularize(cov, config.covariance_plane_factor)
+
+    # <3 neighbours: the reference would regularise its identity fallback to
+    # diag(1,1,1e-2) (`CloudPreprocessor.cpp:113-116,121-123`) — but its
+    # unbounded KNN(30) makes that case unreachable, whereas a bounded grid
+    # neighbourhood hits it for isolated points.  A low-variance normal on a
+    # point with no plane evidence gives garbage 50x-weight residuals, so
+    # degenerate points stay fully isotropic here instead.
     few = cnt < config.min_neighbors_for_covariance
     eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), cov.shape)
-    cov = jnp.where(few[:, None, None], eye, cov)
-
-    cov_reg = eig3.plane_regularize(cov, config.covariance_plane_factor)
+    cov_reg = jnp.where(few[:, None, None], eye, cov_reg)
 
     # pad to the static output budget when the raw cloud was smaller
     if k_eff < k_out:

@@ -194,9 +194,11 @@ def test_plane_covariance_orientation(rng):
     assert np.median(q1) > 0.9
 
 
-def test_isolated_points_identity_cov(rng):
-    """Points with <3 neighbours get the identity-regularised covariance
-    diag(1,1,1e-2) (ref `CloudPreprocessor.cpp:113-116`)."""
+def test_isolated_points_isotropic_cov(rng):
+    """Points with <3 neighbours get a fully isotropic covariance (deliberate
+    deviation from the reference's diag(1,1,1e-2) identity-SVD fallback,
+    which its unbounded KNN never actually reaches —
+    `CloudPreprocessor.cpp:113-116`)."""
     pts = np.array([[0, 0, 0], [50, 50, 50]], np.float32)
     scan = np.vstack([pts, np.zeros((10, 3), np.float32)])
     valid = np.concatenate([np.ones(2, bool), np.zeros(10, bool)])
@@ -205,7 +207,7 @@ def test_isolated_points_identity_cov(rng):
     )
     covs = np.asarray(out.covs)[np.asarray(out.valid)]
     for c in covs:
-        np.testing.assert_allclose(c, np.diag([1, 1, 1e-2]), atol=1e-5)
+        np.testing.assert_allclose(c, np.eye(3), atol=1e-5)
 
 
 def test_full_preprocess_jittable(rng):
