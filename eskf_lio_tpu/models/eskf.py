@@ -174,6 +174,136 @@ def predict_chunk(
     return final, hist, full_hist
 
 
+def predict_chunk_prefix(
+    state: FilterState,
+    chunk: ImuChunk,
+    noise: NoiseParams,
+    base_mask: jnp.ndarray | None = None,
+) -> tuple[FilterState, StateHistory]:
+    """Parallel-prefix IMU propagation — the TPU-shaped replacement for the
+    sequential `predict_chunk`.
+
+    The recurrences are all associative, so instead of M dependent tiny
+    steps (dispatch-latency bound on TPU) the chunk collapses into ~15
+    batched kernels:
+
+    * attitude: q_i = q_0 ⊗ dq_1 ⊗ … ⊗ dq_i — `associative_scan` of
+      quaternion products (log₂M rounds of batched Hamilton products);
+    * velocity/position: cumsums of u_j = R_{j-1}·a_j + g terms;
+    * covariance: P_base = S_0 P S_0ᵀ + Σ_i S_i D_i S_iᵀ with suffix
+      transition products S_i = F_n···F_{i+1} from a reverse
+      `associative_scan` of batched 18×18 matmuls (MXU work).
+
+    `base_mask` ([M] bool) selects the prefix of samples the returned state
+    integrates (valid & t ≤ scan end); masked samples contribute F=I, D=0,
+    dq=1 — so the result is exactly the state at the last base sample, while
+    the returned `StateHistory` still covers ALL samples (the overhang poses
+    are needed for deskew interpolation past scan end).  Numerically this
+    regroups f32 products relative to the sequential form; the test suite
+    bounds the divergence against the sequential reference.
+    """
+    dtype = state.p.dtype
+    m = chunk.dt.shape[0]
+    dt = chunk.dt.astype(dtype)
+    ok = jnp.logical_and(chunk.valid, dt >= 0)
+    if base_mask is None:
+        base_mask = ok
+    bmask = jnp.logical_and(ok, base_mask)
+
+    dt_ok = jnp.where(ok, dt, 0.0)
+    a = jnp.where(ok[:, None], chunk.accel - state.ba, 0.0)
+    w = jnp.where(ok[:, None], chunk.gyro - state.bg, 0.0)
+
+    # --- attitude prefix ---------------------------------------------------
+    dq = lie.quat_exp(w * dt_ok[:, None])  # identity where masked (w·dt=0)
+    q_prefix = jax.lax.associative_scan(lie.quat_mul, dq)  # [M,4]
+    q_all = lie.quat_normalize(lie.quat_mul(state.q[None], q_prefix))
+    q_hist = jnp.concatenate([state.q[None], q_all], axis=0)  # [M+1,4]
+    R_prev = lie.quat_to_mat(q_hist[:-1])  # R_{j-1}, [M,3,3]
+
+    # --- velocity / position cumsums --------------------------------------
+    u = (
+        jnp.einsum("mij,mj->mi", R_prev, a, precision=_HI)
+        + state.g[None]
+    )  # [M,3]
+    dv = u * dt_ok[:, None]
+    v_all = state.v[None] + jnp.cumsum(dv, axis=0)  # v after sample j
+    v_prev = jnp.concatenate([state.v[None], v_all[:-1]], axis=0)
+    dp = v_prev * dt_ok[:, None] + 0.5 * u * (dt_ok * dt_ok)[:, None]
+    p_all = state.p[None] + jnp.cumsum(dp, axis=0)
+    p_hist = jnp.concatenate([state.p[None], p_all], axis=0)
+
+    hist = StateHistory(
+        t_rel=jnp.concatenate(
+            [jnp.full((1,), -jnp.inf, chunk.t_rel.dtype), chunk.t_rel]
+        ),
+        p=p_hist,
+        q=q_hist,
+        valid=jnp.concatenate([jnp.ones((1,), bool), ok]),
+    )
+
+    # --- base nominal state (gather at last base sample) -------------------
+    # history index of the LAST base sample (robust to no-op gaps mid-chunk)
+    n_base = jnp.max(
+        jnp.where(bmask, jnp.arange(1, m + 1, dtype=jnp.int32), 0)
+    )
+    base_p = p_hist[n_base]
+    base_q = q_hist[n_base]
+    base_v = jnp.concatenate([state.v[None], v_all], axis=0)[n_base]
+
+    # --- covariance via suffix transition products -------------------------
+    # F_i blocks (ref `ErrorStateKF.cpp:101-107`), masked to identity beyond
+    # the base prefix.
+    dt_b = jnp.where(bmask, dt, 0.0)
+    eye3 = jnp.eye(3, dtype=dtype)
+    F = jnp.zeros((m, 18, 18), dtype)
+    F = F.at[:, jnp.arange(18), jnp.arange(18)].set(1.0)
+    F = F.at[:, 0:3, 3:6].set(eye3[None] * dt_b[:, None, None])
+    Ra_skew = jnp.einsum(
+        "mij,mjk->mik", R_prev, lie.skew(a), precision=_HI
+    )
+    F = F.at[:, 3:6, 6:9].set(-Ra_skew * dt_b[:, None, None])
+    F = F.at[:, 3:6, 9:12].set(-R_prev * dt_b[:, None, None])
+    F = F.at[:, 3:6, 15:18].set(eye3[None] * dt_b[:, None, None])
+    dq_conj_mat = lie.quat_to_mat(lie.quat_conj(dq))
+    F = F.at[:, 6:9, 6:9].set(
+        jnp.where(bmask[:, None, None], dq_conj_mat, eye3[None])
+    )
+    F = F.at[:, 6:9, 12:15].set(-eye3[None] * dt_b[:, None, None])
+
+    # suffix products S_i = F_n ··· F_{i+1}:
+    #   rev = F reversed; prefix_k = rev_1 @ ... @ rev_k  =>  S_{n-k} = prefix_k
+    rev = F[::-1]
+    matmul = lambda x, y: jnp.einsum("mij,mjk->mik", x, y, precision=_HI)
+    prefix = jax.lax.associative_scan(matmul, rev)  # [M,18,18]
+    S_full = prefix[-1]  # F_n ··· F_1
+    # S_i for i = 1..M : S_i = prefix[M-1-i] for i < M, S_M = I
+    S = jnp.concatenate(
+        [prefix[::-1][1:], jnp.eye(18, dtype=dtype)[None]], axis=0
+    )  # [M,18,18], S[i-1] == S_i
+
+    q_scaled = noise.q_diag[None, :] * jnp.concatenate(
+        [
+            jnp.tile((dt_b * dt_b)[:, None], (1, 6)),
+            jnp.tile(dt_b[:, None], (1, 6)),
+        ],
+        axis=1,
+    )  # [M,12]
+    D = jnp.zeros((m, 18), dtype).at[:, 3:15].set(q_scaled.astype(dtype))
+
+    P_base = (
+        jnp.einsum("ij,jk,lk->il", S_full, state.P, S_full, precision=_HI)
+        + jnp.einsum("mij,mj,mkj->ik", S, D, S, precision=_HI)
+    )
+    P_base = 0.5 * (P_base + P_base.T)
+
+    base = FilterState(
+        p=base_p, v=base_v, q=base_q,
+        ba=state.ba, bg=state.bg, g=state.g, P=P_base,
+    )
+    return base, hist
+
+
 def state_at(full_hist, idx: jnp.ndarray) -> FilterState:
     """Gather the full filter state at history index `idx` (the reference's
     rollback-to-last-state-before-scan-end, `ErrorStateKF.cpp:120-126`)."""

@@ -45,51 +45,59 @@ def find_or_alloc(
     mask = jnp.int32(capacity - 1)
     q = query_keys.shape[0]
     base = vx.slot_hash(query_keys) & mask
+    probe_range = jnp.arange(max_probe, dtype=jnp.int32)
+    qidx = jnp.arange(q, dtype=jnp.int32)
 
     slot_out = jnp.full((q,), -1, jnp.int32)
-    probe = jnp.zeros((q,), jnp.int32)
     unresolved = query_valid
 
+    # Each round gathers the whole probe window at once ([Q, P] in one
+    # coalesced read), finds match-or-first-empty with an argmax reduction,
+    # and resolves claim contention by scatter-min.  The number of ROUNDS is
+    # bounded by claim-contention multiplicity (how many distinct keys fight
+    # for the same empty slot), not by probe distance — each round every
+    # contended slot admits one winner, so a handful of rounds suffices
+    # where the sequential formulation needed max_probe of them.
     def round_body(_, carry):
-        table_keys, occupied, slot_out, probe, unresolved = carry
-        slot = (base + probe) & mask
-        slot_occ = occupied[slot]
-        match = jnp.logical_and(
-            slot_occ, vx.keys_equal(table_keys[slot], query_keys)
+        table_keys, occupied, slot_out, unresolved = carry
+        window = (base[:, None] + probe_range) & mask  # [Q, P]
+        occ_w = occupied[window]
+        keys_w = table_keys[window]
+        match_w = jnp.logical_and(
+            occ_w, vx.keys_equal(keys_w, query_keys[:, None, :])
         )
+        # chains are contiguous (no deletions): a real match precedes any
+        # empty slot, so first-empty vs match ordering needs no tie-break
+        has_match = jnp.any(match_w, axis=1)
+        match_pos = jnp.argmax(match_w, axis=1).astype(jnp.int32)
+        has_empty = jnp.any(~occ_w, axis=1)
+        empty_pos = jnp.argmax(~occ_w, axis=1).astype(jnp.int32)
 
-        found = jnp.logical_and(unresolved, match)
-        slot_out = jnp.where(found, slot, slot_out)
-        unresolved = jnp.logical_and(unresolved, ~match)
+        found = jnp.logical_and(unresolved, has_match)
+        slot_out = jnp.where(found, (base + match_pos) & mask, slot_out)
+        unresolved = jnp.logical_and(unresolved, ~has_match)
 
-        # claim attempt on empty slots; scatter-min picks one winner per slot
-        want = jnp.logical_and(unresolved, ~slot_occ)
+        # claim the first empty slot in the window
+        want = jnp.logical_and(unresolved, has_empty)
+        target = (base + empty_pos) & mask
         ticket = jnp.full((capacity,), _INT_MAX, jnp.int32)
-        qidx = jnp.arange(q, dtype=jnp.int32)
-        ticket = ticket.at[jnp.where(want, slot, capacity)].min(
+        ticket = ticket.at[jnp.where(want, target, capacity)].min(
             qidx, mode="drop"
         )
-        won = jnp.logical_and(want, ticket[slot] == qidx)
-        claim_idx = jnp.where(won, slot, capacity)  # OOB writes are dropped
+        won = jnp.logical_and(want, ticket[target] == qidx)
+        claim_idx = jnp.where(won, target, capacity)  # OOB writes dropped
         table_keys = table_keys.at[claim_idx].set(query_keys, mode="drop")
         occupied = occupied.at[claim_idx].set(True, mode="drop")
-        slot_out = jnp.where(won, slot, slot_out)
+        slot_out = jnp.where(won, target, slot_out)
         unresolved = jnp.logical_and(unresolved, ~won)
+        # queries with neither match nor empty in-window stay unresolved and
+        # give up (probe bound exceeded -> caller drops them)
+        unresolved = jnp.logical_and(unresolved, has_empty)
+        return table_keys, occupied, slot_out, unresolved
 
-        # claim-race losers retry the SAME slot (the winner's key may equal
-        # theirs); occupied-mismatch advances the probe.
-        advance = jnp.logical_and(
-            unresolved, jnp.logical_and(slot_occ, ~match)
-        )
-        probe = probe + advance.astype(jnp.int32)
-        unresolved = jnp.logical_and(unresolved, probe < max_probe)
-        return table_keys, occupied, slot_out, probe, unresolved
-
-    table_keys, occupied, slot_out, probe, unresolved = jax.lax.fori_loop(
-        0,
-        2 * max_probe,  # claim-retry rounds do not advance the probe
-        round_body,
-        (table_keys, occupied, slot_out, probe, unresolved),
+    n_rounds = min(max_probe, 12)
+    table_keys, occupied, slot_out, unresolved = jax.lax.fori_loop(
+        0, n_rounds, round_body, (table_keys, occupied, slot_out, unresolved)
     )
     return table_keys, occupied, slot_out
 
@@ -101,27 +109,27 @@ def probe_lookup(
     max_probe: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Find existing entries only.  Returns (slot [Q] int32, hit [Q] bool);
-    missed queries get slot 0 with hit False.  Probing stops at the first
-    empty slot (chain end) — consistent with `find_or_alloc`'s bound."""
+    missed queries get slot 0 with hit False.
+
+    TPU shape: instead of a sequential probe loop (max_probe dependent
+    gathers), the whole probe *window* is gathered at once — [Q, P] slots in
+    one gather — and the first-match / first-empty logic becomes an argmax
+    reduction.  One big coalesced HBM read instead of P round trips."""
     capacity = table_keys.shape[0]
     mask = jnp.int32(capacity - 1)
     base = vx.slot_hash(query_keys) & mask
-    q = query_keys.shape[0]
 
-    found_slot = jnp.zeros((q,), jnp.int32)
-    hit = jnp.zeros((q,), bool)
-    live = jnp.ones((q,), bool)
+    window = (base[:, None] + jnp.arange(max_probe, dtype=jnp.int32)) & mask
+    occ_w = occupied[window]  # [Q, P]
+    keys_w = table_keys[window]  # [Q, P, 3]
+    match_w = jnp.logical_and(
+        occ_w, vx.keys_equal(keys_w, query_keys[:, None, :])
+    )  # [Q, P]
 
-    def body(i, carry):
-        found_slot, hit, live = carry
-        slot = (base + i) & mask
-        occ = occupied[slot]
-        match = jnp.logical_and(occ, vx.keys_equal(table_keys[slot], query_keys))
-        new_hit = jnp.logical_and(live, match)
-        found_slot = jnp.where(new_hit, slot, found_slot)
-        hit = jnp.logical_or(hit, new_hit)
-        live = jnp.logical_and(live, jnp.logical_and(occ, ~match))
-        return found_slot, hit, live
-
-    found_slot, hit, _ = jax.lax.fori_loop(0, max_probe, body, (found_slot, hit, live))
-    return found_slot, hit
+    # chain semantics: a match only counts if no empty slot precedes it
+    empty_before = jnp.cumsum((~occ_w).astype(jnp.int32), axis=1) > 0
+    valid_match = jnp.logical_and(match_w, ~empty_before)
+    hit = jnp.any(valid_match, axis=1)
+    first = jnp.argmax(valid_match, axis=1).astype(jnp.int32)
+    slot = jnp.where(hit, (base + first) & mask, 0)
+    return slot, hit

@@ -83,12 +83,9 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
         my = jax.lax.axis_index(axis)
 
         # 1-3. predict + rollback + preprocess: replicated identical compute
-        _, hist, full_hist = eskf.predict_chunk(state, chunk, noise)
-        ts = jnp.where(hist.valid, hist.t_rel, jnp.inf)
-        base_idx = jnp.clip(
-            jnp.searchsorted(ts, 0.0, side="right") - 1, 0, ts.shape[0] - 1
+        base, hist = eskf.predict_chunk_prefix(
+            state, chunk, noise, base_mask=chunk.t_rel <= 0.0
         )
-        base = eskf.state_at(full_hist, base_idx)
         processed = preprocess.preprocess(scan, hist, T_il, config)
 
         # 4. sharded VGICP: local lookup on owned keys + psum'd normal eqs

@@ -76,16 +76,13 @@ def make_scan_step(config: Config) -> Callable:
         scan: Scan,
         do_evict: jnp.ndarray,  # bool scalar
     ):
-        # 1. predict through the chunk (ref `Odometry.cpp:28-34`)
-        _, hist, full_hist = eskf.predict_chunk(state, chunk, noise)
-
-        # 2. roll back to the last state at/before scan end
-        #    (ref `ErrorStateKF.cpp:120-126`)
-        ts = jnp.where(hist.valid, hist.t_rel, jnp.inf)
-        base_idx = jnp.clip(
-            jnp.searchsorted(ts, 0.0, side="right") - 1, 0, ts.shape[0] - 1
+        # 1+2. predict through the chunk and obtain the state at the last
+        # sample before scan end in one parallel-prefix pass (replaces the
+        # reference's per-sample process() + rollback,
+        # `Odometry.cpp:28-34` / `ErrorStateKF.cpp:120-126`)
+        base, hist = eskf.predict_chunk_prefix(
+            state, chunk, noise, base_mask=chunk.t_rel <= 0.0
         )
-        base = eskf.state_at(full_hist, base_idx)
 
         # 3. preprocess (ref `Odometry.cpp:74`)
         processed = preprocess.preprocess(scan, hist, T_il, config)
@@ -191,7 +188,7 @@ def make_predict_only(config: Config) -> Callable:
 
     @jax.jit
     def predict_only(state: FilterState, chunk: ImuChunk):
-        final, _, _ = eskf.predict_chunk(state, chunk, noise)
+        final, _ = eskf.predict_chunk_prefix(state, chunk, noise)
         return final
 
     return predict_only
