@@ -60,22 +60,20 @@ def lidar_extrinsics(config: Config, dtype=jnp.float32) -> Pose:
 # ---------------------------------------------------------------------------
 
 
-def make_scan_step(config: Config) -> Callable:
-    """Build the fused per-scan device step.  Closes over all static config
-    so repeated calls hit one compiled executable."""
+def make_step_core(config: Config) -> Callable:
+    """The fused per-scan step body, shaped as a `lax.scan`-compatible
+    function: core(carry, inputs) -> (carry, outputs) with
+    carry = (FilterState, VoxelMap, prev_R, prev_t) and
+    inputs = (ImuChunk, Scan, do_evict).  Used both for the streaming
+    single-call step (`make_scan_step`) and the device-resident replay loop
+    (`pipeline.replay`)."""
     noise = eskf.make_noise_params(config)
     T_il = lidar_extrinsics(config)
 
-    @jax.jit
-    def scan_step(
-        state: FilterState,
-        voxmap: vm.VoxelMap,
-        prev_R: jnp.ndarray,
-        prev_t: jnp.ndarray,
-        chunk: ImuChunk,
-        scan: Scan,
-        do_evict: jnp.ndarray,  # bool scalar
-    ):
+    def core(carry, inputs):
+        state, voxmap, prev_R, prev_t = carry
+        chunk, scan, do_evict = inputs
+
         # 1+2. predict through the chunk and obtain the state at the last
         # sample before scan end in one parallel-prefix pass (replaces the
         # reference's per-sample process() + rollback,
@@ -151,7 +149,30 @@ def make_scan_step(config: Config) -> Callable:
             "removed_voxels": removed,
             "num_scan_points": jnp.sum(processed.valid.astype(jnp.int32)),
         }
-        return corrected, voxmap, T.R, T.t, diag
+        return (corrected, voxmap, T.R, T.t), diag
+
+    return core
+
+
+def make_scan_step(config: Config) -> Callable:
+    """Build the fused per-scan device step.  Closes over all static config
+    so repeated calls hit one compiled executable."""
+    core = make_step_core(config)
+
+    @jax.jit
+    def scan_step(
+        state: FilterState,
+        voxmap: vm.VoxelMap,
+        prev_R: jnp.ndarray,
+        prev_t: jnp.ndarray,
+        chunk: ImuChunk,
+        scan: Scan,
+        do_evict: jnp.ndarray,  # bool scalar
+    ):
+        (corrected, voxmap, R, t), diag = core(
+            (state, voxmap, prev_R, prev_t), (chunk, scan, do_evict)
+        )
+        return corrected, voxmap, R, t, diag
 
     return scan_step
 
