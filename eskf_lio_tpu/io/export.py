@@ -19,7 +19,7 @@ from eskf_lio_tpu.map.voxel_map import VoxelMap
 
 def map_to_cloud(voxmap: VoxelMap) -> tuple[np.ndarray, np.ndarray]:
     """Extract (points [N,3], counts [N]) for occupied voxels."""
-    occ = np.asarray(voxmap.occupied)
+    occ = np.asarray(voxmap.live())
     means = np.asarray(voxmap.mean)[occ]
     counts = np.asarray(voxmap.count)[occ]
     return means, counts

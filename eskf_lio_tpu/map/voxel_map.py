@@ -1,29 +1,35 @@
-"""Device-resident voxel-hash local map.
+"""Device-resident voxel map: a sorted voxel dictionary.
 
 TPU-native re-design of the reference `LocalMap`
-(`/root/reference/src/LocalMap.cpp`, `include/ESKF_LIO/LocalMap.hpp`): an
-open-addressing hash table of static capacity living entirely in device
-memory as a pytree of flat arrays.  Per-voxel state matches the reference's
-`Voxel` (`LocalMap.hpp:63-89`): a running mean of member points and a running
-mean of member point *covariances* (VGICP's per-voxel distribution is the
-averaged per-point covariance, not the scatter of members — `LocalMap.hpp:84`),
-with insertion capped at `max_points_per_voxel` (`LocalMap.hpp:81`).
+(`/root/reference/src/LocalMap.cpp`, `include/ESKF_LIO/LocalMap.hpp`).
+Per-voxel state matches the reference's `Voxel` (`LocalMap.hpp:63-89`): a
+running mean of member points and a running mean of member point
+*covariances* (VGICP's per-voxel distribution is the averaged per-point
+covariance, not the member scatter — `LocalMap.hpp:84`), with insertion
+capped at `max_points_per_voxel` (`LocalMap.hpp:81`).
 
-Covariances are stored packed-symmetric ([C, 6]: xx, xy, xz, yy, yz, zz) to
-halve HBM traffic on the lookup path.
+Layout: instead of a pointer-chasing hash map (reference) or an
+open-addressing probe table (both latency-bound on TPU — random gathers
+cost ~12 ns/element while sorts/scans run at full throughput), the map is a
+KEY-SORTED ARRAY:
 
-Design differences from the reference, all deliberate:
-* Batched parallel insert: points are grouped per voxel by a sort +
-  segment-reduce, then unique voxels claim slots via contended scatter-min
-  rounds (deterministic; no mutexes).  The reference inserts sequentially
-  (`LocalMap.cpp:47-58`).
-* Running means are updated per batch, arithmetically identical to the
-  reference's one-at-a-time update except when a batch crosses the
-  1000-point cap, where the batch contribution is scaled proportionally
-  instead of truncating to the first points in scan order.
-* Eviction (`LocalMap.cpp:60-72`) rebuilds the table from surviving voxels
-  (open addressing cannot tombstone-free delete mid-chain); keyed on sensor
-  time by the caller, not wall clock (reference quirk, `LocalMap.cpp:60`).
+* `packed` [C] — voxel keys packed to one int32 relative to a roaming
+  `origin`, ascending, INT32_MAX marking empty tail slots;
+* payload arrays aligned with it.
+
+Operations become sort/merge dataflow:
+* lookup  = vectorised binary search (`searchsorted`) + exact-key check;
+* insert  = segment-reduce the batch + one merge sort with the table,
+  combining duplicate keys under the reference's running-mean/cap rule;
+* evict   = mask + one re-sort (the reference's erase loop,
+  `LocalMap.cpp:60-72`), which also re-centres the packing origin on the
+  current position — so the 1024-voxel packing span always covers the
+  eviction radius with wide margin.
+
+Covariances are stored packed-symmetric ([C, 6]) to halve lookup traffic.
+Batch-vs-sequential running-mean semantics: identical to the reference
+except when one batch crosses the point cap, where the batch contribution
+is scaled proportionally rather than truncated in scan order.
 """
 
 from __future__ import annotations
@@ -33,11 +39,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from eskf_lio_tpu.ops import sortmerge as sm
 from eskf_lio_tpu.ops import voxel as vx
-from eskf_lio_tpu.ops.hash_table import find_or_alloc as _find_or_alloc
-from eskf_lio_tpu.ops.hash_table import probe_lookup as _probe_lookup
 
-_INT_MAX = jnp.int32(2147483647)
+INT32_MAX = sm.INT32_MAX
 
 
 def pack_cov(cov: jnp.ndarray) -> jnp.ndarray:
@@ -65,140 +70,35 @@ def unpack_cov(packed: jnp.ndarray) -> jnp.ndarray:
 
 
 class VoxelMap(NamedTuple):
-    """Open-addressing voxel table.  All arrays have leading dim = capacity."""
+    """Sorted voxel dictionary.  All payload arrays have leading dim = C."""
 
-    keys: jnp.ndarray  # [C, 3] int32 voxel coords
-    occupied: jnp.ndarray  # [C] bool
-    count: jnp.ndarray  # [C] int32, capped at max_points_per_voxel
+    origin: jnp.ndarray  # [3] int32 packing origin (voxel coords)
+    packed: jnp.ndarray  # [C] int32 packed keys, ascending, INT32_MAX empty
+    keys: jnp.ndarray  # [C, 3] int32 full voxel coords
+    count: jnp.ndarray  # [C] float count (capped at max_points_per_voxel)
     mean: jnp.ndarray  # [C, 3] running mean of member points
     cov: jnp.ndarray  # [C, 6] packed running mean of member covariances
 
     @property
     def capacity(self) -> int:
-        return self.keys.shape[0]
+        return self.packed.shape[0]
 
     @staticmethod
     def create(capacity: int, dtype=jnp.float32) -> "VoxelMap":
         return VoxelMap(
+            origin=jnp.full((3,), -512, jnp.int32),
+            packed=jnp.full((capacity,), INT32_MAX, jnp.int32),
             keys=jnp.zeros((capacity, 3), jnp.int32),
-            occupied=jnp.zeros((capacity,), bool),
-            count=jnp.zeros((capacity,), jnp.int32),
+            count=jnp.zeros((capacity,), dtype),
             mean=jnp.zeros((capacity, 3), dtype),
             cov=jnp.zeros((capacity, 6), dtype),
         )
 
+    def live(self) -> jnp.ndarray:
+        return self.packed != INT32_MAX
+
     def num_voxels(self) -> jnp.ndarray:
-        return jnp.sum(self.occupied.astype(jnp.int32))
-
-
-# ---------------------------------------------------------------------------
-# batched insert
-# ---------------------------------------------------------------------------
-
-
-def insert(
-    vmap: VoxelMap,
-    points: jnp.ndarray,
-    covs_packed: jnp.ndarray,
-    valid: jnp.ndarray,
-    *,
-    voxel_size: float,
-    max_points_per_voxel: int,
-    max_probe: int,
-) -> tuple[VoxelMap, jnp.ndarray]:
-    """Insert a batch of world-frame points + packed covariances.
-
-    Replaces the sequential per-point `LocalMap::updateLocalMap` insert loop
-    (`LocalMap.cpp:47-58`).  Returns (new_map, num_dropped) where dropped
-    counts points whose voxel could not be resolved within the probe bound
-    (table overloaded — size the capacity to avoid this).
-    """
-    n = points.shape[0]
-    keys = vx.voxel_key(points, voxel_size)
-
-    # --- group same-voxel points via sort by slot-hash --------------------
-    h = vx.slot_hash(keys)
-    sort_key = jnp.where(valid, h, _INT_MAX)
-    order = jnp.argsort(sort_key, stable=True)
-    keys_s = keys[order]
-    pts_s = points[order]
-    covs_s = covs_packed[order]
-    valid_s = valid[order]
-
-    same_as_prev = jnp.concatenate(
-        [jnp.zeros((1,), bool), vx.keys_equal(keys_s[1:], keys_s[:-1])]
-    )
-    head = jnp.logical_and(valid_s, ~same_as_prev)
-    seg_id = jnp.cumsum(head.astype(jnp.int32)) - 1  # [-1 for pre-head pad]
-    seg_id = jnp.where(valid_s, seg_id, n - 1)  # invalid -> last segment bin
-
-    w = valid_s.astype(points.dtype)
-    seg_count = jax.ops.segment_sum(w, seg_id, num_segments=n)
-    seg_psum = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n)
-    seg_csum = jax.ops.segment_sum(covs_s * w[:, None], seg_id, num_segments=n)
-
-    # segment representative keys: gather at head positions
-    head_idx = jnp.where(head, jnp.arange(n), n - 1)
-    # compact heads to the front of a length-n array of segment slots
-    seg_order = jnp.argsort(jnp.where(head, jnp.arange(n), _INT_MAX), stable=True)
-    head_pos = seg_order  # position in sorted arrays of each segment's head
-    seg_keys = keys_s[head_pos]
-    seg_valid = head[head_pos]
-    del head_idx
-
-    # --- resolve/allocate slots ------------------------------------------
-    table_keys, occupied, slot = _find_or_alloc(
-        vmap.keys, vmap.occupied, seg_keys, seg_valid, max_probe
-    )
-    resolved = jnp.logical_and(seg_valid, slot >= 0)
-    slot_safe = jnp.where(resolved, slot, 0)
-
-    # segment stats, in segment order (segment i corresponds to seg_id i)
-    seg_i = jnp.arange(n)
-    cnt = seg_count[seg_i]
-    psum = seg_psum[seg_i]
-    csum = seg_csum[seg_i]
-
-    # --- per-slot accumulation with cap semantics -------------------------
-    zeros_f = jnp.zeros((vmap.capacity,), points.dtype)
-    add_cnt = zeros_f.at[slot_safe].add(jnp.where(resolved, cnt, 0.0))
-    add_p = (
-        jnp.zeros_like(vmap.mean)
-        .at[slot_safe]
-        .add(jnp.where(resolved[:, None], psum, 0.0))
-    )
-    add_c = (
-        jnp.zeros_like(vmap.cov)
-        .at[slot_safe]
-        .add(jnp.where(resolved[:, None], csum, 0.0))
-    )
-
-    old_cnt = vmap.count.astype(points.dtype)
-    cap = jnp.asarray(max_points_per_voxel, points.dtype)
-    cap_add = jnp.clip(cap - old_cnt, 0.0, add_cnt)
-    scale = jnp.where(add_cnt > 0, cap_add / jnp.maximum(add_cnt, 1.0), 0.0)
-    denom = jnp.maximum(old_cnt + cap_add, 1.0)
-
-    new_mean = (old_cnt[:, None] * vmap.mean + scale[:, None] * add_p) / denom[
-        :, None
-    ]
-    new_cov = (old_cnt[:, None] * vmap.cov + scale[:, None] * add_c) / denom[
-        :, None
-    ]
-    touched = add_cnt > 0
-    new_map = VoxelMap(
-        keys=table_keys,
-        occupied=occupied,
-        count=jnp.where(
-            touched, (old_cnt + cap_add).astype(jnp.int32), vmap.count
-        ),
-        mean=jnp.where(touched[:, None], new_mean, vmap.mean),
-        cov=jnp.where(touched[:, None], new_cov, vmap.cov),
-    )
-    dropped = jnp.sum(
-        jnp.where(jnp.logical_and(seg_valid, ~resolved), cnt, 0.0)
-    ).astype(jnp.int32)
-    return new_map, dropped
+        return jnp.sum(self.live().astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -211,21 +111,154 @@ def lookup(
     points: jnp.ndarray,
     *,
     voxel_size: float,
-    max_probe: int,
+    max_probe: int = 0,  # kept for API compatibility; unused
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-point single-voxel correspondence lookup
-    (ref `correspondenceMatching`, `LocalMap.cpp:78-109`: each point probes
+    (ref `correspondenceMatching`, `LocalMap.cpp:78-109`: each point reads
     only its own voxel — no neighbourhood search, kept for parity).
 
     Returns (mean [N,3], cov_packed [N,6], hit [N] bool).
     """
+    del max_probe
     keys = vx.voxel_key(points, voxel_size)
-    found_slot, hit = _probe_lookup(vmap.keys, vmap.occupied, keys, max_probe)
-    return vmap.mean[found_slot], vmap.cov[found_slot], hit
+    packed, in_range = sm.pack_keys(keys, vmap.origin)
+    idx = jnp.searchsorted(vmap.packed, packed, side="left").astype(jnp.int32)
+    idx = jnp.minimum(idx, vmap.capacity - 1)
+    hit = jnp.logical_and(in_range, vmap.packed[idx] == packed)
+    return vmap.mean[idx], vmap.cov[idx], hit
 
 
 # ---------------------------------------------------------------------------
-# eviction (rebuild)
+# insert
+# ---------------------------------------------------------------------------
+
+
+def insert(
+    vmap: VoxelMap,
+    points: jnp.ndarray,
+    covs_packed: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    voxel_size: float,
+    max_points_per_voxel: int,
+    max_probe: int = 0,  # kept for API compatibility; unused
+) -> tuple[VoxelMap, jnp.ndarray]:
+    """Insert a batch of world-frame points + packed covariances.
+
+    Replaces the sequential per-point insert loop (`LocalMap.cpp:47-58`)
+    with: segment-reduce the batch per voxel, then ONE merge sort with the
+    live table combining duplicates.  Returns (new_map, num_dropped) where
+    dropped counts points outside the packing span or beyond capacity.
+    """
+    del max_probe
+    dtype = points.dtype
+    n = points.shape[0]
+    c = vmap.capacity
+
+    keys = vx.voxel_key(points, voxel_size)
+    packed, in_range = sm.pack_keys(keys, vmap.origin)
+    ok = jnp.logical_and(valid, in_range)
+    dropped_range = jnp.sum(jnp.logical_and(valid, ~in_range).astype(jnp.int32))
+
+    # --- group the batch by voxel (stable sort keeps scan order in ties) --
+    order = jnp.argsort(jnp.where(ok, packed, INT32_MAX), stable=True)
+    packed_s = packed[order]
+    ok_s = ok[order]
+    pts_s = points[order]
+    covs_s = covs_packed[order]
+
+    head, seg_id = sm.unique_segments(packed_s, ok_s)
+    w = ok_s.astype(dtype)
+    seg_cnt = jax.ops.segment_sum(w, seg_id, num_segments=n)
+    seg_psum = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n)
+    seg_csum = jax.ops.segment_sum(covs_s * w[:, None], seg_id, num_segments=n)
+
+    # compact heads to the front (ascending packed order preserved)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    comp = jnp.argsort(jnp.where(head, pos, INT32_MAX), stable=True)
+    new_packed = jnp.where(head[comp], packed_s[comp], INT32_MAX)
+    new_keys = keys[order][comp]
+    seg_of_comp = seg_id[comp]
+    new_cnt = seg_cnt[seg_of_comp]
+    new_psum = seg_psum[seg_of_comp]
+    new_csum = seg_csum[seg_of_comp]
+
+    # --- merge with the live table ----------------------------------------
+    # combined rows: old entries carry (count, mean, cov); new entries carry
+    # (cnt, psum, csum).  Stable sort on packed keys puts the (unique) old
+    # entry immediately before its (unique) new counterpart.
+    comb_packed = jnp.concatenate([vmap.packed, new_packed])
+    comb_is_old = jnp.concatenate(
+        [jnp.ones((c,), bool), jnp.zeros((n,), bool)]
+    )
+    comb_keys = jnp.concatenate([vmap.keys, new_keys])
+    comb_cnt = jnp.concatenate([vmap.count, new_cnt])
+    comb_a = jnp.concatenate([vmap.mean, new_psum])  # old: mean, new: psum
+    comb_b = jnp.concatenate([vmap.cov, new_csum])  # old: cov,  new: csum
+
+    morder = jnp.argsort(comb_packed, stable=True)
+    p_m = comb_packed[morder]
+    old_m = comb_is_old[morder]
+    keys_m = comb_keys[morder]
+    cnt_m = comb_cnt[morder]
+    a_m = comb_a[morder]
+    b_m = comb_b[morder]
+
+    # previous-row view for duplicate combining
+    prev_same = jnp.concatenate(
+        [jnp.zeros((1,), bool), p_m[1:] == p_m[:-1]]
+    )
+    prev_is_old = jnp.concatenate([jnp.zeros((1,), bool), old_m[:-1]])
+    prev_cnt = jnp.concatenate([jnp.zeros((1,), dtype), cnt_m[:-1]])
+    prev_a = jnp.concatenate([jnp.zeros((1, 3), dtype), a_m[:-1]])
+    prev_b = jnp.concatenate([jnp.zeros((1, 6), dtype), b_m[:-1]])
+
+    is_new = jnp.logical_and(~old_m, p_m != INT32_MAX)
+    merged = jnp.logical_and(
+        is_new, jnp.logical_and(prev_same, prev_is_old)
+    )  # new row absorbing an existing entry
+
+    cap = jnp.asarray(max_points_per_voxel, dtype)
+    old_cnt = jnp.where(merged, prev_cnt, 0.0)
+    add = cnt_m  # for new rows: batch count
+    cap_add = jnp.clip(cap - old_cnt, 0.0, add)
+    scale = jnp.where(add > 0, cap_add / jnp.maximum(add, 1.0), 0.0)
+    denom = jnp.maximum(old_cnt + cap_add, 1.0)
+    base_a = jnp.where(merged[:, None], prev_a * old_cnt[:, None], 0.0)
+    base_b = jnp.where(merged[:, None], prev_b * old_cnt[:, None], 0.0)
+    out_mean = (base_a + scale[:, None] * a_m) / denom[:, None]
+    out_cov = (base_b + scale[:, None] * b_m) / denom[:, None]
+    out_cnt = old_cnt + cap_add
+
+    # final row state:
+    #   old row with a following new duplicate -> dead (absorbed)
+    next_absorbs = jnp.concatenate([merged[1:], jnp.zeros((1,), bool)])
+    dead = jnp.logical_and(old_m, next_absorbs)
+    live_row = jnp.logical_and(p_m != INT32_MAX, ~dead)
+    row_packed = jnp.where(live_row, p_m, INT32_MAX)
+    row_cnt = jnp.where(is_new, out_cnt, cnt_m)
+    row_mean = jnp.where(is_new[:, None], out_mean, a_m)
+    row_cov = jnp.where(is_new[:, None], out_cov, b_m)
+
+    # --- compact back to capacity (live entries ascending, empties last) --
+    forder = jnp.argsort(row_packed, stable=True)[:c]
+    kept_live = row_packed[forder] != INT32_MAX
+    n_live_total = jnp.sum(live_row.astype(jnp.int32))
+    overflow = jnp.maximum(n_live_total - jnp.sum(kept_live.astype(jnp.int32)), 0)
+
+    new_map = VoxelMap(
+        origin=vmap.origin,
+        packed=row_packed[forder],
+        keys=keys_m[forder],
+        count=row_cnt[forder],
+        mean=row_mean[forder],
+        cov=row_cov[forder],
+    )
+    return new_map, dropped_range + overflow
+
+
+# ---------------------------------------------------------------------------
+# eviction + re-centring
 # ---------------------------------------------------------------------------
 
 
@@ -235,30 +268,36 @@ def evict_beyond(
     *,
     voxel_size: float,
     distance_threshold: float,
-    max_probe: int,
+    max_probe: int = 0,  # kept for API compatibility; unused
 ) -> tuple[VoxelMap, jnp.ndarray]:
-    """Drop voxels whose center is farther than `distance_threshold` from
-    `center` (ref `needsPointRemoval`, `LocalMap.cpp:149-154`), rebuilding
-    the open-addressing table from the survivors.
+    """Drop voxels whose centre is farther than `distance_threshold` from
+    `center` (ref `needsPointRemoval`, `LocalMap.cpp:149-154`) and re-centre
+    the packing origin on `center`: one mask + one sort.
 
     Returns (new_map, num_removed).
     """
+    del max_probe
+    live = vmap.live()
     centers = (vmap.keys.astype(vmap.mean.dtype) + 0.5) * voxel_size
     dist = jnp.linalg.norm(centers - center, axis=-1)
-    survive = jnp.logical_and(vmap.occupied, dist <= distance_threshold)
+    survive = jnp.logical_and(live, dist <= distance_threshold)
     removed = vmap.num_voxels() - jnp.sum(survive.astype(jnp.int32))
 
-    fresh = VoxelMap.create(vmap.capacity, vmap.mean.dtype)
-    table_keys, occupied, slot = _find_or_alloc(
-        fresh.keys, fresh.occupied, vmap.keys, survive, max_probe
+    # re-centre: new origin at the current position voxel minus half-span
+    new_origin = vx.voxel_key(center, voxel_size) - 512
+    repacked, in_range = sm.pack_keys(vmap.keys, new_origin)
+    keep = jnp.logical_and(survive, in_range)
+    repacked = jnp.where(keep, repacked, INT32_MAX)
+
+    order = jnp.argsort(repacked, stable=True)
+    return (
+        VoxelMap(
+            origin=new_origin,
+            packed=repacked[order],
+            keys=vmap.keys[order],
+            count=vmap.count[order],
+            mean=vmap.mean[order],
+            cov=vmap.cov[order],
+        ),
+        removed,
     )
-    ok = jnp.logical_and(survive, slot >= 0)
-    idx = jnp.where(ok, slot, vmap.capacity)  # OOB -> dropped
-    new_map = VoxelMap(
-        keys=table_keys,
-        occupied=occupied,
-        count=fresh.count.at[idx].set(vmap.count, mode="drop"),
-        mean=fresh.mean.at[idx].set(vmap.mean, mode="drop"),
-        cov=fresh.cov.at[idx].set(vmap.cov, mode="drop"),
-    )
-    return new_map, removed

@@ -13,8 +13,9 @@ TPU-native re-design of the reference `CloudPreprocessor`
 * per-point covariance + plane regularisation (`:103-124`) — the reference
   runs KD-tree KNN(30) + SVD; a KD-tree is pointer-chasing and TPU-hostile,
   so the neighbourhood is the 27-voxel grid patch around each kept point
-  (≈0.45 m radius at 0.3 m voxels), aggregated from per-voxel moments via a
-  transient open-addressing scan table.  Output role preserved: a plane-
+  (≈0.45 m radius at 0.3 m voxels), aggregated from per-voxel moments via
+  sort-merge joins on packed keys (`ops/sortmerge.py`).  Output role
+  preserved: a plane-
   regularised Σ = I − (1−ε)·n̂n̂ᵀ per kept point (ε = 1e-2,
   `CloudPreprocessor.hpp:30-31`), identity-regularised when the
   neighbourhood has <3 points (`CloudPreprocessor.cpp:113-116`).
@@ -27,17 +28,9 @@ import jax.numpy as jnp
 
 from eskf_lio_tpu.config import Config
 from eskf_lio_tpu.ops import eig3, voxel as vx
-from eskf_lio_tpu.ops.hash_table import find_or_alloc, probe_lookup
+from eskf_lio_tpu.ops import sortmerge as sm
 from eskf_lio_tpu.types import Pose, ProcessedScan, Scan, StateHistory
 from eskf_lio_tpu.ops import lie
-
-_INT_MAX = jnp.int32(2147483647)
-
-# 27-neighbourhood offsets, static [27, 3]
-_OFFSETS = jnp.asarray(
-    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-    jnp.int32,
-)
 
 
 def deskew(
@@ -91,70 +84,6 @@ def deskew(
     return jnp.where(valid[:, None], out, points)
 
 
-def _scan_voxel_table(
-    keys: jnp.ndarray,
-    points: jnp.ndarray,
-    valid: jnp.ndarray,
-    capacity: int,
-    max_probe: int,
-):
-    """Build a transient voxel table over the raw scan: per-voxel zeroth/
-    first/second moments for neighbourhood covariance aggregation.
-
-    Returns (table_keys, occupied, slot_per_point, moments) where moments is
-    (n [C], sum [C,3], sq [C,6] packed upper-tri of Σppᵀ)."""
-    n = keys.shape[0]
-    h = vx.slot_hash(keys)
-    sort_key = jnp.where(valid, h, _INT_MAX)
-    order = jnp.argsort(sort_key, stable=True)
-    keys_s = keys[order]
-    valid_s = valid[order]
-
-    same = jnp.concatenate(
-        [jnp.zeros((1,), bool), vx.keys_equal(keys_s[1:], keys_s[:-1])]
-    )
-    head = jnp.logical_and(valid_s, ~same)
-    seg_pos = jnp.argsort(jnp.where(head, jnp.arange(n), _INT_MAX), stable=True)
-    seg_keys = keys_s[seg_pos]
-    seg_valid = head[seg_pos]
-
-    table_keys = jnp.zeros((capacity, 3), jnp.int32)
-    occupied = jnp.zeros((capacity,), bool)
-    table_keys, occupied, seg_slot = find_or_alloc(
-        table_keys, occupied, seg_keys, seg_valid, max_probe
-    )
-
-    # per-point slot: lookup (all segments now resolved or dropped)
-    slot, hit = probe_lookup(table_keys, occupied, keys, max_probe)
-    ok = jnp.logical_and(valid, hit)
-    idx = jnp.where(ok, slot, capacity)  # OOB -> dropped
-
-    w = ok.astype(points.dtype)
-    mom_n = jnp.zeros((capacity,), points.dtype).at[idx].add(w, mode="drop")
-    mom_s = (
-        jnp.zeros((capacity, 3), points.dtype)
-        .at[idx]
-        .add(points * w[:, None], mode="drop")
-    )
-    pp = jnp.stack(
-        [
-            points[:, 0] * points[:, 0],
-            points[:, 0] * points[:, 1],
-            points[:, 0] * points[:, 2],
-            points[:, 1] * points[:, 1],
-            points[:, 1] * points[:, 2],
-            points[:, 2] * points[:, 2],
-        ],
-        axis=-1,
-    )
-    mom_q = (
-        jnp.zeros((capacity, 6), points.dtype)
-        .at[idx]
-        .add(pp * w[:, None], mode="drop")
-    )
-    return table_keys, occupied, slot, hit, (mom_n, mom_s, mom_q)
-
-
 def downsample_and_covariances(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -163,44 +92,78 @@ def downsample_and_covariances(
     """First-point-per-voxel downsample + neighbourhood covariance
     (ref `voxelDownsampleAndEstimateCovariances`,
     `CloudPreprocessor.cpp:76-127`), padded/compacted to
-    `config.max_scan_points`."""
+    `config.max_scan_points`.
+
+    Sort-merge formulation: one stable sort groups the scan by packed voxel
+    key (stability = the reference's first-in-scan-order keep rule for
+    free); per-voxel 0th/1st/2nd moments come from segment sums; the
+    27-voxel neighbourhood moments come from ONE `merge_join` of all
+    kept-point neighbour keys against the sorted per-voxel table.  No hash
+    tables, no probe loops — random access is reduced to payload gathers.
+    """
     n = points.shape[0]
     k_out = config.max_scan_points
     vs = config.downsample_voxel_size
+    dtype = points.dtype
+
     keys = vx.voxel_key(points, vs)
+    # static packing origin: scan points live in the scan-end body frame,
+    # bounded by LiDAR range << the ±512-voxel packing span
+    origin = jnp.full((3,), -512, jnp.int32)
+    packed, in_range = sm.pack_keys(keys, origin)
+    ok = jnp.logical_and(valid, in_range)
 
-    table_keys, occupied, slot, hit, (mom_n, mom_s, mom_q) = _scan_voxel_table(
-        keys, points, valid, config.scan_hash_capacity, config.max_probe
-    )
+    order = jnp.argsort(jnp.where(ok, packed, sm.INT32_MAX), stable=True)
+    packed_s = packed[order]
+    ok_s = ok[order]
+    pts_s = points[order]
 
-    # ---- keep the first valid point (scan order) of each voxel -----------
-    # scatter-min of point index onto its slot; the winner is kept.
-    idx_arr = jnp.arange(n, dtype=jnp.int32)
-    first_of_slot = (
-        jnp.full((config.scan_hash_capacity,), _INT_MAX, jnp.int32)
-        .at[jnp.where(jnp.logical_and(valid, hit), slot, config.scan_hash_capacity)]
-        .min(idx_arr, mode="drop")
+    head, seg_id = sm.unique_segments(packed_s, ok_s)
+    w = ok_s.astype(dtype)
+    seg_n = jax.ops.segment_sum(w, seg_id, num_segments=n)
+    seg_s = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n)
+    pp = jnp.stack(
+        [
+            pts_s[:, 0] * pts_s[:, 0],
+            pts_s[:, 0] * pts_s[:, 1],
+            pts_s[:, 0] * pts_s[:, 2],
+            pts_s[:, 1] * pts_s[:, 1],
+            pts_s[:, 1] * pts_s[:, 2],
+            pts_s[:, 2] * pts_s[:, 2],
+        ],
+        axis=-1,
     )
-    keep = jnp.logical_and(
-        jnp.logical_and(valid, hit), first_of_slot[slot] == idx_arr
-    )
+    seg_q = jax.ops.segment_sum(pp * w[:, None], seg_id, num_segments=n)
 
-    # compact kept points to the front, preserving scan order
-    comp_order = jnp.argsort(jnp.where(keep, idx_arr, _INT_MAX), stable=True)
-    sel = comp_order[:k_out]
+    # compact segment heads to the front; ascending packed order preserved,
+    # and (stable sort) each head is the FIRST point of its voxel in scan
+    # order — exactly `CloudPreprocessor.cpp:87-99` semantics
+    pos = jnp.arange(n, dtype=jnp.int32)
+    comp = jnp.argsort(jnp.where(head, pos, sm.INT32_MAX), stable=True)
+    table_packed = jnp.where(head[comp], packed_s[comp], sm.INT32_MAX)
+    seg_of = seg_id[comp]
+    tb_n = seg_n[seg_of]
+    tb_s = seg_s[seg_of]
+    tb_q = seg_q[seg_of]
+
+    sel = comp[:k_out]
     k_eff = sel.shape[0]  # static: min(n, k_out)
-    out_valid = keep[sel]
-    out_points = points[sel]
+    out_valid = head[sel]
+    out_points = pts_s[sel]
+    out_packed = table_packed[:k_eff]
 
-    # ---- neighbourhood covariance over the 27-voxel patch ----------------
-    out_keys = keys[sel]
-    nb_keys = out_keys[:, None, :] + _OFFSETS[None, :, :]  # [K, 27, 3]
-    flat_keys = nb_keys.reshape(-1, 3)
-    nb_slot, nb_hit = probe_lookup(table_keys, occupied, flat_keys, config.max_probe)
-    nb_w = nb_hit.astype(points.dtype)
-    nb_n = (mom_n[nb_slot] * nb_w).reshape(k_eff, 27)
-    nb_s = (mom_s[nb_slot] * nb_w[:, None]).reshape(k_eff, 27, 3)
-    nb_q = (mom_q[nb_slot] * nb_w[:, None]).reshape(k_eff, 27, 6)
+    # ---- 27-voxel neighbourhood moments via one merge join ---------------
+    offs = sm.neighbor_offsets_packed()  # [27]
+    safe_base = jnp.where(out_valid, out_packed, 0)
+    nb = safe_base[:, None] + offs[None, :]  # [K, 27]
+    nb_valid = jnp.broadcast_to(out_valid[:, None], nb.shape)
+    idx, hit = sm.merge_join(
+        table_packed, nb.reshape(-1), nb_valid.reshape(-1)
+    )
+    hw = hit.astype(dtype)
+    nb_n = (tb_n[idx] * hw).reshape(k_eff, 27)
+    nb_s = (tb_s[idx] * hw[:, None]).reshape(k_eff, 27, 3)
+    nb_q = (tb_q[idx] * hw[:, None]).reshape(k_eff, 27, 6)
 
     cnt = jnp.sum(nb_n, axis=1)  # [K]
     s = jnp.sum(nb_s, axis=1)  # [K, 3]
@@ -233,22 +196,17 @@ def downsample_and_covariances(
     # point with no plane evidence gives garbage 50x-weight residuals, so
     # degenerate points stay fully isotropic here instead.
     few = cnt < config.min_neighbors_for_covariance
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), cov.shape)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), cov.shape)
     cov_reg = jnp.where(few[:, None, None], eye, cov_reg)
 
     # pad to the static output budget when the raw cloud was smaller
     if k_eff < k_out:
         pad = k_out - k_eff
         out_points = jnp.concatenate(
-            [out_points, jnp.zeros((pad, 3), points.dtype)]
+            [out_points, jnp.zeros((pad, 3), dtype)]
         )
         cov_reg = jnp.concatenate(
-            [
-                cov_reg,
-                jnp.broadcast_to(
-                    jnp.eye(3, dtype=points.dtype), (pad, 3, 3)
-                ),
-            ]
+            [cov_reg, jnp.broadcast_to(jnp.eye(3, dtype=dtype), (pad, 3, 3))]
         )
         out_valid = jnp.concatenate([out_valid, jnp.zeros((pad,), bool)])
     return ProcessedScan(points=out_points, covs=cov_reg, valid=out_valid)

@@ -1,0 +1,114 @@
+"""Sort-merge primitives for voxel-keyed joins.
+
+Random-access hash probing is latency-bound on TPU (~12 ns per gathered
+element); sorts and dense scans run at full throughput with a flat ~ms cost.
+So every "look this voxel up" operation in the framework is expressed as a
+sort/merge over arrays instead of pointer- or probe-chasing:
+
+* `pack_keys` — 3D voxel coords packed into ONE int32 relative to a local
+  origin (10 bits per axis).  Neighbour offsets become constant adds.
+* `merge_join` — values for query keys against a key-sorted table, built
+  from one combined sort + a cummax carry: zero random access except the
+  final payload gather.
+
+These primitives power the preprocessor's transient per-scan voxel
+aggregation and the sorted `VoxelMap` (see `map/voxel_map.py`), replacing
+the reference's two `std::unordered_map`s (`CloudPreprocessor.cpp:85-99`,
+`LocalMap.cpp:47-58`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.int32(2147483647)
+
+# 10 bits per axis => grid extent 1024 voxels per axis around the origin
+_BITS = 10
+_SPAN = 1 << _BITS
+_MASK = _SPAN - 1
+
+
+def pack_keys(keys: jnp.ndarray, origin: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., 3] int32 voxel coords -> packed int32 relative to `origin` [3].
+
+    Returns (packed, in_range).  Out-of-range coords (beyond the 1024-voxel
+    span) are flagged; callers mask them out.  Packing is order-preserving
+    per axis, and ±1 neighbour offsets become constant adds of
+    (1<<20, 1<<10, 1)."""
+    rel = keys - origin
+    in_range = jnp.all(
+        jnp.logical_and(rel >= 0, rel < _SPAN), axis=-1
+    )
+    packed = (rel[..., 0] << (2 * _BITS)) | (rel[..., 1] << _BITS) | rel[..., 2]
+    return jnp.where(in_range, packed, INT32_MAX), in_range
+
+
+def neighbor_offsets_packed() -> jnp.ndarray:
+    """[27] packed-key offsets of the 3x3x3 neighbourhood."""
+    offs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                offs.append((dx << (2 * _BITS)) + (dy << _BITS) + dz)
+    return jnp.asarray(offs, jnp.int32)
+
+
+def merge_join(
+    table_keys_sorted: jnp.ndarray,
+    query_keys: jnp.ndarray,
+    query_valid: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each query key, the index of its entry in a sorted table.
+
+    Args:
+      table_keys_sorted: [C] int32, ascending, INT32_MAX = empty tail.
+      query_keys: [Q] int32 (INT32_MAX treated as invalid).
+      query_valid: [Q] bool.
+
+    Returns (idx [Q] int32 into the table, hit [Q] bool).
+
+    One combined sort + cummax carry: concatenate table and queries, sort
+    (stable, table entries first at equal keys), carry the last-seen table
+    row index forward, scatter results back to query order.  No binary
+    search, no probe loops — two sorts and dense scans.
+    """
+    c = table_keys_sorted.shape[0]
+    q = query_keys.shape[0]
+    qk = jnp.where(query_valid, query_keys, INT32_MAX)
+
+    combined = jnp.concatenate([table_keys_sorted, qk])
+    # stable argsort keeps table entries (indices < c) ahead of equal-keyed
+    # queries, so the cummax carry sees the table entry first
+    order = jnp.argsort(combined, stable=True)
+    sorted_keys = combined[order]
+    is_table = order < c
+    table_row = jnp.where(is_table, order, -1)
+    carried = jax.lax.associative_scan(jnp.maximum, table_row)
+    carried_key = table_keys_sorted[jnp.maximum(carried, 0)]
+    ok = jnp.logical_and(carried >= 0, carried_key == sorted_keys)
+
+    # scatter back to original query positions
+    qpos = jnp.where(is_table, q, order - c)  # OOB drop for table rows
+    idx_out = jnp.zeros((q,), jnp.int32).at[qpos].set(
+        jnp.maximum(carried, 0).astype(jnp.int32), mode="drop"
+    )
+    hit_out = jnp.zeros((q,), bool).at[qpos].set(ok, mode="drop")
+    hit_out = jnp.logical_and(hit_out, jnp.logical_and(query_valid, qk != INT32_MAX))
+    return idx_out, hit_out
+
+
+def unique_segments(sorted_keys: jnp.ndarray, valid_sorted: jnp.ndarray):
+    """Heads + segment ids over a sorted key array.
+
+    Returns (head [N] bool, seg_id [N] int32) where seg_id is the rank of
+    the segment (invalid rows land in the last bin)."""
+    n = sorted_keys.shape[0]
+    same = jnp.concatenate(
+        [jnp.zeros((1,), bool), sorted_keys[1:] == sorted_keys[:-1]]
+    )
+    head = jnp.logical_and(valid_sorted, ~same)
+    seg_id = jnp.cumsum(head.astype(jnp.int32)) - 1
+    seg_id = jnp.where(valid_sorted, jnp.maximum(seg_id, 0), n - 1)
+    return head, seg_id

@@ -4,11 +4,11 @@ This is the framework's distributed backend — the component the reference
 does not have (its only parallelism is OpenMP fork/join and a two-thread
 producer/consumer split; see SURVEY.md §2b).  Design:
 
-* Mesh axis ``map`` over D devices.  The voxel hash table becomes D
-  independent sub-tables (one per device, `hash_capacity/D` slots each).
-  A voxel key belongs to exactly ONE device — `ops.voxel.owner_hash(key, D)`
-  — and its linear-probe chain lives entirely inside that device's
-  sub-table, so probing never crosses shard boundaries.
+* Mesh axis ``map`` over D devices.  The sorted voxel dictionary becomes D
+  independent sub-dictionaries (one per device, `hash_capacity/D` slots
+  each).  A voxel key belongs to exactly ONE device —
+  `ops.voxel.owner_hash(key, D)` — and each shard keeps its own sorted
+  order, so lookups/merges never cross shard boundaries.
 * Scan + filter state are replicated (tiny).  Per GN iteration each device
   looks up only the correspondences it owns, accumulates partial
   JᵀWJ ∈ ℝ⁶ˣ⁶ / JᵀWr ∈ ℝ⁶, and a `psum` over ICI produces the global
@@ -61,7 +61,8 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
     shard = P(axis)
 
     map_specs = vm.VoxelMap(
-        keys=shard, occupied=shard, count=shard, mean=shard, cov=shard
+        origin=repl, packed=shard, keys=shard, count=shard, mean=shard,
+        cov=shard,
     )
     chunk_specs = ImuChunk(
         dt=repl, t_rel=repl, gyro=repl, accel=repl, valid=repl
@@ -207,7 +208,8 @@ def make_sharded_init_step(config: Config, mesh: Mesh):
     repl = P()
     shard = P(axis)
     map_specs = vm.VoxelMap(
-        keys=shard, occupied=shard, count=shard, mean=shard, cov=shard
+        origin=repl, packed=shard, keys=shard, count=shard, mean=shard,
+        cov=shard,
     )
     scan_specs = Scan(points=repl, t_rel=repl, valid=repl)
 
@@ -258,9 +260,17 @@ class ShardedOdometry(odo.Odometry):
         # override the compiled steps with sharded versions
         self.scan_step = make_sharded_scan_step(config, self.mesh)
         self.init_step = make_sharded_init_step(config, self.mesh)
-        # place the map with the sharded layout
+        # place the map with the sharded layout (origin replicated)
         shard = NamedSharding(self.mesh, P(config.mesh_axis_name))
-        self.voxmap = jax.device_put(self.voxmap, shard)
+        repl = NamedSharding(self.mesh, P())
+        self.voxmap = vm.VoxelMap(
+            origin=jax.device_put(self.voxmap.origin, repl),
+            packed=jax.device_put(self.voxmap.packed, shard),
+            keys=jax.device_put(self.voxmap.keys, shard),
+            count=jax.device_put(self.voxmap.count, shard),
+            mean=jax.device_put(self.voxmap.mean, shard),
+            cov=jax.device_put(self.voxmap.cov, shard),
+        )
 
 
 class ShardedOdometryRunner:

@@ -65,7 +65,7 @@ def load_checkpoint(path: str, odo) -> Any:
     odo.state = jax.tree.unflatten(
         jax.tree.structure(odo.state), [jnp.asarray(a) for a in state_leaves]
     )
-    vox_leaves = [z[f"voxmap_{i}"] for i in range(5)]
+    vox_leaves = [z[f"voxmap_{i}"] for i in range(len(jax.tree.leaves(odo.voxmap)))]
     restored = jax.tree.unflatten(
         jax.tree.structure(odo.voxmap), [jnp.asarray(a) for a in vox_leaves]
     )

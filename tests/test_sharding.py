@@ -65,7 +65,7 @@ def test_sharded_map_is_partitioned(seq):
     n_dev = 8
     sub = CFG.hash_capacity // n_dev
     keys = np.asarray(odo.voxmap.keys).reshape(n_dev, sub, 3)
-    occ = np.asarray(odo.voxmap.occupied).reshape(n_dev, sub)
+    occ = np.asarray(odo.voxmap.live()).reshape(n_dev, sub)
     total = 0
     for d in range(n_dev):
         k = keys[d][occ[d]]
