@@ -1,0 +1,125 @@
+"""Command-line entrypoint.
+
+The TPU-world counterpart of the reference's node `main`
+(`/root/reference/src/main.cpp:46-83`): load config, build the odometry
+driver, consume the measurement stream, and on exit save the map + the
+trajectory and print the per-stage timing summary
+(`Odometry.cpp:99-109`).  Instead of ROS topics the stream comes from an
+npz sequence file (converted rosbag) or the built-in synthetic simulator.
+
+Usage:
+    python -m eskf_lio_tpu.cli --config config/hilti.yaml \
+        --input seq.npz --cloud-out map.pcd --traj-out traj.json
+    python -m eskf_lio_tpu.cli --synthetic 20 --replay \
+        --cloud-out map.pcd --traj-out traj.json --viz out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="YAML config (reference schema)")
+    ap.add_argument("--input", help="npz sequence file")
+    ap.add_argument(
+        "--synthetic", type=float, metavar="SECONDS",
+        help="run the synthetic simulator for SECONDS instead of --input",
+    )
+    ap.add_argument("--points-per-scan", type=int, default=20000)
+    ap.add_argument("--max-scans", type=int, default=None)
+    ap.add_argument(
+        "--replay", action="store_true",
+        help="offline replay mode (whole batches per device dispatch)",
+    )
+    ap.add_argument(
+        "--devices", type=int, default=1,
+        help="shard the map over this many devices (streaming mode)",
+    )
+    ap.add_argument("--cloud-out", default=None)
+    ap.add_argument("--traj-out", default=None)
+    ap.add_argument("--viz", default=None, help="render a PNG of the result")
+    ap.add_argument("--checkpoint-out", default=None)
+    ap.add_argument("--resume-from", default=None)
+    args = ap.parse_args(argv)
+
+    from eskf_lio_tpu.config import Config, ImuConfig, load_config
+    from eskf_lio_tpu.io import dataset, export
+
+    if args.config:
+        config = load_config(args.config)
+    else:
+        config = Config(imu=ImuConfig(gravity=(0.0, 0.0, -9.81)))
+
+    if args.synthetic:
+        seq = dataset.make_synthetic_sequence(
+            duration=args.synthetic, points_per_scan=args.points_per_scan
+        )
+    elif args.input:
+        seq = dataset.load_npz(args.input)
+    else:
+        ap.error("one of --input / --synthetic is required")
+
+    t0 = time.perf_counter()
+    if args.replay:
+        from eskf_lio_tpu.pipeline import replay as rp
+
+        positions, rotations, diags, voxmap = rp.run_replay(
+            config, seq, max_scans=args.max_scans
+        )
+        n = len(positions)
+        elapsed = time.perf_counter() - t0
+        print(f"processed {n} scans in {elapsed:.2f} s "
+              f"({n / elapsed:.1f} scans/s, replay mode)")
+        print(f"icp convergence rate: {diags['icp_converged'].mean():.2%}")
+
+        class _Shim:  # adapt replay outputs to the export interface
+            pass
+
+        odo = _Shim()
+        odo.voxmap = voxmap
+        odo.trajectory_t = list(range(n))
+        odo.trajectory_R = list(rotations)
+        odo.trajectory_p = list(positions)
+    else:
+        if args.devices > 1:
+            from eskf_lio_tpu.parallel.sharded_map import ShardedOdometry
+
+            odo = ShardedOdometry(config, n_devices=args.devices)
+        else:
+            from eskf_lio_tpu.pipeline.odometry import Odometry
+
+            odo = Odometry(config)
+        if args.resume_from:
+            from eskf_lio_tpu.utils import checkpoint
+
+            checkpoint.load_checkpoint(args.resume_from, odo)
+        summary = odo.run(seq, max_scans=args.max_scans)
+        # the reference's exit report (`Odometry.cpp:99-109`)
+        print(
+            f"step average elapsed time = {summary['avg_step_ms']:.2f} ms"
+        )
+        print(f"step max elapsed time = {summary['max_step_ms']:.2f} ms")
+        print(f"throughput = {summary['scans_per_sec']:.1f} scans/s")
+        print(f"map voxels = {summary['map_voxels']}")
+        if args.checkpoint_out:
+            from eskf_lio_tpu.utils import checkpoint
+
+            checkpoint.save_checkpoint(args.checkpoint_out, odo)
+
+    if args.cloud_out and args.traj_out:
+        export.save_run(odo, args.cloud_out, args.traj_out)
+        print(f"saved {args.cloud_out}, {args.traj_out}")
+        if args.viz:
+            from eskf_lio_tpu.viz.visualize import render
+
+            render(args.cloud_out, args.traj_out, args.viz)
+            print(f"rendered {args.viz}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
