@@ -26,6 +26,10 @@ import time
 import numpy as np
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from eskf_lio_tpu.config import Config, ImuConfig

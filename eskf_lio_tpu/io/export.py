@@ -17,8 +17,14 @@ import numpy as np
 from eskf_lio_tpu.map.voxel_map import VoxelMap
 
 
-def map_to_cloud(voxmap: VoxelMap) -> tuple[np.ndarray, np.ndarray]:
-    """Extract (points [N,3], counts [N]) for occupied voxels."""
+def map_to_cloud(
+    voxmap: VoxelMap, max_points_per_voxel: int = 1000
+) -> tuple[np.ndarray, np.ndarray]:
+    """Extract (points [N,3], counts [N]) for occupied voxels (the LSM delta
+    tier is folded in first)."""
+    from eskf_lio_tpu.map import voxel_map as _vm
+
+    voxmap, _ = _vm.compact(voxmap, max_points_per_voxel=max_points_per_voxel)
     occ = np.asarray(voxmap.live())
     means = np.asarray(voxmap.mean)[occ]
     counts = np.asarray(voxmap.count)[occ]

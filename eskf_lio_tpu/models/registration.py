@@ -159,7 +159,7 @@ def align(
                 voxmap,
                 pts,
                 voxel_size=config.map_voxel_size,
-                max_probe=config.max_probe,
+                max_points_per_voxel=config.max_points_per_voxel,
             )
             return mu, vm.unpack_cov(cov_packed), hit
 

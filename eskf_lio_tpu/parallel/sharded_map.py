@@ -61,8 +61,7 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
     shard = P(axis)
 
     map_specs = vm.VoxelMap(
-        origin=repl, packed=shard, keys=shard, count=shard, mean=shard,
-        cov=shard,
+        **{f: (repl if f == "origin" else shard) for f in vm.VoxelMap._fields}
     )
     chunk_specs = ImuChunk(
         dt=repl, t_rel=repl, gyro=repl, accel=repl, valid=repl
@@ -97,7 +96,7 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
                 voxmap,
                 pts,
                 voxel_size=config.map_voxel_size,
-                max_probe=config.max_probe,
+                max_points_per_voxel=config.max_points_per_voxel,
             )
             return mu, vm.unpack_cov(cov_packed), jnp.logical_and(hit, owned)
 
@@ -155,7 +154,7 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
                 T.t,
                 voxel_size=config.map_voxel_size,
                 distance_threshold=config.remove_distance_threshold,
-                max_probe=config.max_probe,
+                max_points_per_voxel=config.max_points_per_voxel,
             )
 
         voxmap, removed = jax.lax.cond(
@@ -175,6 +174,9 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
             "dropped_points": jax.lax.psum(dropped, axis),
             "removed_voxels": jax.lax.psum(removed, axis),
             "num_scan_points": jnp.sum(processed.valid.astype(jnp.int32)),
+            "pose_finite": jnp.logical_and(
+                jnp.all(jnp.isfinite(T.t)), jnp.all(jnp.isfinite(T.R))
+            ),
         }
         return corrected, voxmap, T.R, T.t, diag
 
@@ -186,6 +188,7 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
         "dropped_points": repl,
         "removed_voxels": repl,
         "num_scan_points": repl,
+        "pose_finite": repl,
     }
 
     step = shard_map(
@@ -208,8 +211,7 @@ def make_sharded_init_step(config: Config, mesh: Mesh):
     repl = P()
     shard = P(axis)
     map_specs = vm.VoxelMap(
-        origin=repl, packed=shard, keys=shard, count=shard, mean=shard,
-        cov=shard,
+        **{f: (repl if f == "origin" else shard) for f in vm.VoxelMap._fields}
     )
     scan_specs = Scan(points=repl, t_rel=repl, valid=repl)
 
@@ -264,12 +266,12 @@ class ShardedOdometry(odo.Odometry):
         shard = NamedSharding(self.mesh, P(config.mesh_axis_name))
         repl = NamedSharding(self.mesh, P())
         self.voxmap = vm.VoxelMap(
-            origin=jax.device_put(self.voxmap.origin, repl),
-            packed=jax.device_put(self.voxmap.packed, shard),
-            keys=jax.device_put(self.voxmap.keys, shard),
-            count=jax.device_put(self.voxmap.count, shard),
-            mean=jax.device_put(self.voxmap.mean, shard),
-            cov=jax.device_put(self.voxmap.cov, shard),
+            **{
+                f: jax.device_put(
+                    getattr(self.voxmap, f), repl if f == "origin" else shard
+                )
+                for f in vm.VoxelMap._fields
+            }
         )
 
 

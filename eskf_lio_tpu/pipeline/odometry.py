@@ -130,7 +130,7 @@ def make_step_core(config: Config) -> Callable:
                 T.t,
                 voxel_size=config.map_voxel_size,
                 distance_threshold=config.remove_distance_threshold,
-                max_probe=config.max_probe,
+                max_points_per_voxel=config.max_points_per_voxel,
             )
 
         voxmap, removed = jax.lax.cond(
@@ -148,6 +148,11 @@ def make_step_core(config: Config) -> Callable:
             "dropped_points": dropped,
             "removed_voxels": removed,
             "num_scan_points": jnp.sum(processed.valid.astype(jnp.int32)),
+            # failure detection (absent in the reference, SURVEY.md 5.3):
+            # a non-finite pose means the filter diverged
+            "pose_finite": jnp.logical_and(
+                jnp.all(jnp.isfinite(T.t)), jnp.all(jnp.isfinite(T.R))
+            ),
         }
         return (corrected, voxmap, T.R, T.t), diag
 
@@ -266,6 +271,14 @@ class Odometry:
         self.diags: list[dict] = []
         self.timer = StageTimer()
 
+        # failure detection (the reference has none, SURVEY.md 5.3): flag
+        # divergence on a non-finite pose or a sustained loss of map
+        # correspondences so callers can stop/reset instead of silently
+        # corrupting the map
+        self.diverged = False
+        self.zero_corr_streak = 0
+        self.zero_corr_limit = 10
+
     # -- chunk/scan packing ------------------------------------------------
 
     def _build_chunk(self, records, t_end: float) -> ImuChunk:
@@ -382,6 +395,14 @@ class Odometry:
         pose_t = np.asarray(self.prev_t)
         self.timer.add(time.perf_counter() - t0)
         diag_host = {k: np.asarray(v) for k, v in diag.items()}
+        if not bool(diag_host.get("pose_finite", True)):
+            self.diverged = True
+        if int(diag_host.get("num_correspondences", 1)) == 0:
+            self.zero_corr_streak += 1
+            if self.zero_corr_streak >= self.zero_corr_limit:
+                self.diverged = True
+        else:
+            self.zero_corr_streak = 0
         self._record(t_end, pose_R, pose_t, diag_host)
         return diag_host
 
@@ -414,6 +435,7 @@ class Odometry:
 
     def summary(self) -> dict:
         return {
+            "diverged": self.diverged,
             "num_scans": len(self.trajectory_t),
             "avg_step_ms": self.timer.avg * 1e3,
             "max_step_ms": self.timer.max * 1e3,

@@ -140,6 +140,7 @@ def test_point_cap(rng):
     m, _ = do_insert(m, pts2, covs2, max_points=max_pts)
     mean1, _, _ = vm.lookup(m, jnp.asarray(base[None]), voxel_size=VS, max_probe=PROBE)
     np.testing.assert_array_equal(np.asarray(mean0), np.asarray(mean1))
+    m, _ = vm.compact(m, max_points_per_voxel=max_pts)
     assert int(m.count.max()) == max_pts
 
 
@@ -155,7 +156,8 @@ def test_cap_cross_batch(rng):
     pts2 = np.stack([base + [0.01, 0, 0]] * 4)
     covs2 = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
     m, _ = do_insert(m, pts2.astype(np.float32), covs2, max_points=max_pts)
-    assert int(m.count.max()) == max_pts
+    mc, _ = vm.compact(m, max_points_per_voxel=max_pts)
+    assert int(mc.count.max()) == max_pts
     mean, _, hit = vm.lookup(m, jnp.asarray(base[None]), voxel_size=VS, max_probe=PROBE)
     expect = (2 * base + 2 * (base + [0.01, 0, 0])) / 4
     np.testing.assert_allclose(np.asarray(mean)[0], expect, atol=1e-5)
