@@ -21,13 +21,17 @@ target under the conservative assumption the reference runs at real time.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
@@ -68,23 +72,24 @@ def main() -> None:
     prev_R, prev_t = jnp.eye(3), jnp.zeros(3)
 
     b_total = chunks.dt.shape[0]
-    warm = 16
-    assert b_total > warm + 32, "sequence too short for a timed window"
+    assert b_total >= 64, "sequence too short for a timed window"
+    # warmup and timed batches MUST have identical shapes: a different batch
+    # length would retrace and the timed region would include compilation
+    n = b_total // 2
     sl = lambda a, s, e: jax.tree.map(lambda x: x[s:e], a)
 
     # warmup (includes compile); sync via scalar fetch — async acks lie
     state, voxmap, prev_R, prev_t, _, ts_w, _ = replay_step(
         state, voxmap, prev_R, prev_t,
-        sl(chunks, 0, warm), sl(scans, 0, warm), evicts[:warm],
+        sl(chunks, 0, n), sl(scans, 0, n), evicts[:n],
     )
     float(np.asarray(ts_w[-1, 0]))
 
-    # timed region: the remaining scans in one dispatch
-    n = b_total - warm
+    # timed region: same-shaped second half in one dispatch
     t0 = time.perf_counter()
     state, voxmap, prev_R, prev_t, _, ts_b, diags = replay_step(
         state, voxmap, prev_R, prev_t,
-        sl(chunks, warm, b_total), sl(scans, warm, b_total), evicts[warm:],
+        sl(chunks, n, 2 * n), sl(scans, n, 2 * n), evicts[n : 2 * n],
     )
     float(np.asarray(ts_b[-1, 0]))  # device sync
     elapsed = time.perf_counter() - t0

@@ -1,4 +1,4 @@
-"""Device-resident voxel map: a two-tier sorted voxel dictionary (LSM).
+"""Device-resident voxel map: a two-tier hash-ordered sorted dictionary (LSM).
 
 TPU-native re-design of the reference `LocalMap`
 (`/root/reference/src/LocalMap.cpp`, `include/ESKF_LIO/LocalMap.hpp`).
@@ -8,30 +8,34 @@ running mean of member points and a running mean of member point
 covariance, not the member scatter — `LocalMap.hpp:84`), capped at
 `max_points_per_voxel` points (`LocalMap.hpp:81`).
 
-Layout — chosen from measured TPU behaviour (random gathers are
-latency-bound at ~12 ns/element; sorts/scans run at full throughput):
+Layout — driven by measured TPU primitive costs (see git history for the
+microbenchmarks; all numbers one v5e chip):
 
-* MAIN tier: key-sorted arrays of capacity C (packed int32 keys relative to
-  a roaming `origin`, INT32_MAX = empty tail) holding finalised running
-  stats (count, mean, cov).
-* DELTA tier: a small key-sorted buffer of capacity D holding *raw sums*
-  (count, Σp, Σcov) of recent insertions — the LSM memtable.
-
-Operations:
-* lookup — two vectorised binary searches (main + delta) and an on-the-fly
-  combine under the reference's running-mean/cap rule;
-* insert — segment-reduce the batch, one merge sort against the DELTA only
-  (O(N + D) per scan, independent of map size); when the merged delta
-  overflows, a `lax.cond` compaction folds it into MAIN (O(C), amortised
-  over many scans — the LSM flush);
+* entries are ordered by `skey = order-preserved bijective 32-bit hash of
+  the packed voxel key` (`ops.sortmerge.skey_of`).  Bijective ⇒ equal skey
+  ⟺ equal voxel; hashing ⇒ skeys are uniformly distributed, so a
+  set-associative `view` (8 interleaved (skey,row) pairs per 64-byte
+  bucket row, 4x slot headroom) resolves a batch of lookups with ONE
+  [N,16] row-gather + lane compares + one payload row-gather — ~3 gather
+  rounds per tier instead of log₂C ≈ 19 binary-search rounds
+  (4.4 ms → ~0.6 ms per GN iteration at C = 512k).
+* per-voxel payload is ONE [C, 10] f32 array (count, mean/Σp ×3, cov/Σcov
+  ×6): row gathers move ~8× more bytes/s than scalar gathers, and merges
+  become single variadic sorts (`lax.sort` with the payload as extra
+  operands is ~3× cheaper than argsort + fancy-indexing).
+* MAIN tier: capacity C, finalised running stats, rebuilt only on
+  compaction/eviction.  DELTA tier: capacity D ≈ C/8 of *raw sums* — the
+  LSM memtable.  insert = segment-reduce the batch + one [D+N] merge sort
+  (O(N+D) per scan, map-size independent); a `lax.cond` compaction folds
+  the delta into MAIN when it overflows (O(C), amortised).
 * evict — compact + mask + one re-sort (ref `LocalMap.cpp:60-72`), which
   also re-centres the packing origin so the 1024-voxel span always covers
   the eviction radius.
 
-Covariances are stored packed-symmetric ([*, 6]).  Semantics vs the
-sequential reference: identical below the point cap; a batch crossing the
-cap contributes proportionally rather than by scan-order truncation, and
-delta sums are capped at read/compaction time rather than per batch.
+Semantics vs the sequential reference: identical below the point cap; a
+batch crossing the cap contributes proportionally rather than by scan-order
+truncation, and delta sums are capped at read/compaction time rather than
+per batch.
 """
 
 from __future__ import annotations
@@ -45,6 +49,17 @@ from eskf_lio_tpu.ops import sortmerge as sm
 from eskf_lio_tpu.ops import voxel as vx
 
 INT32_MAX = sm.INT32_MAX
+
+# Lookup view: a set-associative mirror of the sorted table.  Each bucket
+# holds VIEW_ASSOC (skey, row) pairs interleaved in one 64-byte row, so a
+# whole lookup is ONE [N, 2*VIEW_ASSOC] row-gather + lane compares —
+# 3 gather rounds per tier (incl. payload) instead of ~11 binary-search
+# rounds.  4x slot headroom keeps per-bucket overflow negligible even at
+# full table load (Poisson(2) tail beyond 8: ~1e-4 per bucket); an
+# overflowing entry is dropped from the VIEW only (a missed correspondence,
+# never corruption) — the sorted table stays exact.
+VIEW_ASSOC = 8
+VIEW_HEADROOM = 4  # total view slots = VIEW_HEADROOM * capacity
 
 
 def pack_cov(cov: jnp.ndarray) -> jnp.ndarray:
@@ -71,30 +86,63 @@ def unpack_cov(packed: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _n_view_buckets(capacity: int) -> int:
+    return max(capacity * VIEW_HEADROOM // VIEW_ASSOC, 1)
+
+
+def _sort_rows(skey, packed, payload, *extras):
+    """Variadic stable sort by (skey, packed); payload [N,10] rides along.
+    Returns (skey, packed, payload, *extras) sorted."""
+    cols = (
+        (skey, packed)
+        + tuple(payload[:, j] for j in range(payload.shape[1]))
+        + tuple(extras)
+    )
+    out = jax.lax.sort(cols, num_keys=2, is_stable=True)
+    payload_out = jnp.stack(out[2 : 2 + payload.shape[1]], axis=1)
+    return (out[0], out[1], payload_out) + tuple(out[2 + payload.shape[1] :])
+
+
 class VoxelMap(NamedTuple):
-    """Two-tier sorted voxel dictionary."""
+    """Two-tier hash-ordered sorted voxel dictionary."""
 
     origin: jnp.ndarray  # [3] int32 packing origin (voxel coords)
-    # main tier (finalised stats)
-    packed: jnp.ndarray  # [C] int32 ascending, INT32_MAX empty
-    keys: jnp.ndarray  # [C, 3]
-    count: jnp.ndarray  # [C] float, capped
-    mean: jnp.ndarray  # [C, 3]
-    cov: jnp.ndarray  # [C, 6]
-    # delta tier (raw sums)
-    d_packed: jnp.ndarray  # [D] int32 ascending, INT32_MAX empty
-    d_keys: jnp.ndarray  # [D, 3]
-    d_cnt: jnp.ndarray  # [D] float raw count
-    d_psum: jnp.ndarray  # [D, 3] raw Σ point
-    d_csum: jnp.ndarray  # [D, 6] raw Σ cov
+    # main tier (finalised stats), ascending by skey
+    skey: jnp.ndarray  # [C] int32, INT32_MAX = empty tail
+    packed: jnp.ndarray  # [C] int32 spatial packed key (INT32_MAX empty)
+    payload: jnp.ndarray  # [C, 10] f32: count, mean(3), cov(6)
+    view: jnp.ndarray  # [2C/8, 16] int32 set-assoc (skey,row)x8 lookup view
+    # delta tier (raw sums), ascending by skey
+    d_skey: jnp.ndarray  # [D] int32
+    d_packed: jnp.ndarray  # [D] int32
+    d_payload: jnp.ndarray  # [D, 10] f32: count, Σp(3), Σcov(6)
+    d_view: jnp.ndarray  # [2D/8, 16] int32
 
     @property
     def capacity(self) -> int:
-        return self.packed.shape[0]
+        return self.skey.shape[0]
 
     @property
     def delta_capacity(self) -> int:
-        return self.d_packed.shape[0]
+        return self.d_skey.shape[0]
+
+    # --- back-compat views (io/export, tests) -----------------------------
+    @property
+    def count(self) -> jnp.ndarray:
+        return self.payload[:, 0]
+
+    @property
+    def mean(self) -> jnp.ndarray:
+        return self.payload[:, 1:4]
+
+    @property
+    def cov(self) -> jnp.ndarray:
+        return self.payload[:, 4:10]
+
+    @property
+    def keys(self) -> jnp.ndarray:
+        """[C, 3] voxel integer coords (valid where live())."""
+        return sm.unpack_keys(self.packed, self.origin)
 
     @staticmethod
     def create(
@@ -105,16 +153,14 @@ class VoxelMap(NamedTuple):
         )
         return VoxelMap(
             origin=jnp.full((3,), -512, jnp.int32),
+            skey=jnp.full((capacity,), INT32_MAX, jnp.int32),
             packed=jnp.full((capacity,), INT32_MAX, jnp.int32),
-            keys=jnp.zeros((capacity, 3), jnp.int32),
-            count=jnp.zeros((capacity,), dtype),
-            mean=jnp.zeros((capacity, 3), dtype),
-            cov=jnp.zeros((capacity, 6), dtype),
+            payload=jnp.zeros((capacity, 10), dtype),
+            view=_empty_view(capacity),
+            d_skey=jnp.full((d,), INT32_MAX, jnp.int32),
             d_packed=jnp.full((d,), INT32_MAX, jnp.int32),
-            d_keys=jnp.zeros((d, 3), jnp.int32),
-            d_cnt=jnp.zeros((d,), dtype),
-            d_psum=jnp.zeros((d, 3), dtype),
-            d_csum=jnp.zeros((d, 6), dtype),
+            d_payload=jnp.zeros((d, 10), dtype),
+            d_view=_empty_view(d),
         )
 
     def live(self) -> jnp.ndarray:
@@ -124,14 +170,66 @@ class VoxelMap(NamedTuple):
     def num_voxels(self) -> jnp.ndarray:
         """Distinct voxels across both tiers."""
         n_main = jnp.sum(self.live().astype(jnp.int32))
-        d_live = self.d_packed != INT32_MAX
-        idx = jnp.searchsorted(self.packed, self.d_packed).astype(jnp.int32)
+        d_live = self.d_skey != INT32_MAX
+        idx = jnp.searchsorted(self.skey, self.d_skey).astype(jnp.int32)
         idx = jnp.minimum(idx, self.capacity - 1)
-        in_main = self.packed[idx] == self.d_packed
+        in_main = self.skey[idx] == self.d_skey
         n_delta_only = jnp.sum(
             jnp.logical_and(d_live, ~in_main).astype(jnp.int32)
         )
         return n_main + n_delta_only
+
+
+def _empty_view(capacity: int) -> jnp.ndarray:
+    nb = _n_view_buckets(capacity)
+    v = jnp.zeros((nb, 2 * VIEW_ASSOC), jnp.int32)
+    return v.at[:, 0::2].set(INT32_MAX)
+
+
+def _build_view(skey_sorted: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the set-associative lookup view from an ascending skey array.
+
+    bucket(x) = top bits of x's uint32 order, so equal-bucket rows are
+    contiguous in the sorted array; rank-in-bucket falls out of a segmented
+    iota (one cummax), and two scatters place (skey, row) into the view.
+    Entries past VIEW_ASSOC per bucket are dropped from the view only —
+    returns (view, n_dropped)."""
+    c = skey_sorted.shape[0]
+    nb = _n_view_buckets(c)
+    bo = sm.bucket_of(skey_sorted, nb)
+    live = skey_sorted != INT32_MAX
+    pos = jnp.arange(c, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), bo[1:] != bo[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(head, pos, 0)
+    )
+    rank = pos - seg_start
+    ok = jnp.logical_and(live, rank < VIEW_ASSOC)
+    dropped = jnp.sum(jnp.logical_and(live, ~ok).astype(jnp.int32))
+    col = jnp.where(ok, 2 * rank, 2 * VIEW_ASSOC)  # OOB col -> dropped
+    b = jnp.where(ok, bo, nb)
+    view = _empty_view(c)
+    view = view.at[b, col].set(skey_sorted, mode="drop")
+    view = view.at[b, col + 1].set(pos, mode="drop")
+    return view, dropped
+
+
+def _view_find(
+    view: jnp.ndarray, q_skey: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One row-gather lookup: returns (row_idx, found) per query skey."""
+    nb = view.shape[0]
+    b = sm.bucket_of(q_skey, nb)
+    rows = view[b]  # [N, 16] — a single 64-byte row gather
+    keys8 = rows[:, 0::2]
+    idxs8 = rows[:, 1::2]
+    eq = keys8 == q_skey[:, None]
+    found = jnp.logical_and(jnp.any(eq, axis=1), q_skey != INT32_MAX)
+    lane = jnp.argmax(eq, axis=1)
+    idx = jnp.take_along_axis(idxs8, lane[:, None], axis=1)[:, 0]
+    return idx, found
 
 
 def _combine(c_main, mean_main, cov_main, c_add, psum, csum, cap):
@@ -171,27 +269,37 @@ def lookup(
     main entry with any pending delta sums for the same voxel.
     """
     del max_probe
-    dtype = vmap.mean.dtype
     keys = vx.voxel_key(points, voxel_size)
     packed, in_range = sm.pack_keys(keys, vmap.origin)
+    return lookup_packed(
+        vmap, packed, in_range, max_points_per_voxel=max_points_per_voxel
+    )
 
-    mi = jnp.searchsorted(vmap.packed, packed).astype(jnp.int32)
-    mi = jnp.minimum(mi, vmap.capacity - 1)
-    m_hit = jnp.logical_and(in_range, vmap.packed[mi] == packed)
 
-    di = jnp.searchsorted(vmap.d_packed, packed).astype(jnp.int32)
-    di = jnp.minimum(di, vmap.delta_capacity - 1)
-    d_hit = jnp.logical_and(in_range, vmap.d_packed[di] == packed)
+def lookup_packed(
+    vmap: VoxelMap,
+    packed: jnp.ndarray,
+    in_range: jnp.ndarray,
+    *,
+    max_points_per_voxel: int = 1000,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """lookup() given precomputed packed keys (see `lookup`)."""
+    dtype = vmap.payload.dtype
+    skey = sm.skey_of(packed)
 
-    c_main = jnp.where(m_hit, vmap.count[mi], 0.0)
-    mean_m = jnp.where(m_hit[:, None], vmap.mean[mi], 0.0)
-    cov_m = jnp.where(m_hit[:, None], vmap.cov[mi], 0.0)
-    c_add = jnp.where(d_hit, vmap.d_cnt[di], 0.0)
-    psum = jnp.where(d_hit[:, None], vmap.d_psum[di], 0.0)
-    csum = jnp.where(d_hit[:, None], vmap.d_csum[di], 0.0)
+    mi, m_hit = _view_find(vmap.view, skey)
+    m_hit = jnp.logical_and(m_hit, in_range)
+    di, d_hit = _view_find(vmap.d_view, skey)
+    d_hit = jnp.logical_and(d_hit, in_range)
+
+    pay_m = jnp.where(m_hit[:, None], vmap.payload[mi], 0.0)
+    pay_d = jnp.where(d_hit[:, None], vmap.d_payload[di], 0.0)
 
     cap = jnp.asarray(max_points_per_voxel, dtype)
-    _, mean, cov = _combine(c_main, mean_m, cov_m, c_add, psum, csum, cap)
+    _, mean, cov = _combine(
+        pay_m[:, 0], pay_m[:, 1:4], pay_m[:, 4:10],
+        pay_d[:, 0], pay_d[:, 1:4], pay_d[:, 4:10], cap,
+    )
     return mean, cov, jnp.logical_or(m_hit, d_hit)
 
 
@@ -200,117 +308,107 @@ def lookup(
 # ---------------------------------------------------------------------------
 
 
-def _merge_delta(vmap: VoxelMap, new_packed, new_keys, new_cnt, new_psum,
-                 new_csum, cap):
-    """Merge sorted new raw-sum entries [N] into the delta tier.
+def _merge_delta(vmap: VoxelMap, new_skey, new_packed, new_payload, cap):
+    """Merge new raw-sum entries [N] into the delta tier.
 
-    Returns the merged candidate arrays of length D+N (sorted, duplicates
+    Returns (skey, packed, payload) of length D+N (sorted, duplicates
     combined under the point cap, dead rows = INT32_MAX) plus the live
     count.  Sums are capped here as well as at read so a voxel that
     saturates within one delta epoch stops accumulating, matching the
     reference's `numPoints < maxNumPoints` gate (`LocalMap.hpp:81`) up to
     the proportional batch-crossing rule."""
-    d = vmap.delta_capacity
-    n = new_packed.shape[0]
-
-    comb_packed = jnp.concatenate([vmap.d_packed, new_packed])
-    comb_keys = jnp.concatenate([vmap.d_keys, new_keys])
-    comb_cnt = jnp.concatenate([vmap.d_cnt, new_cnt])
-    comb_psum = jnp.concatenate([vmap.d_psum, new_psum])
-    comb_csum = jnp.concatenate([vmap.d_csum, new_csum])
-
-    order = jnp.argsort(comb_packed, stable=True)
-    p = comb_packed[order]
-    k = comb_keys[order]
-    c = comb_cnt[order]
-    ps = comb_psum[order]
-    cs = comb_csum[order]
+    p, k, pay = _sort_rows(
+        jnp.concatenate([vmap.d_skey, new_skey]),
+        jnp.concatenate([vmap.d_packed, new_packed]),
+        jnp.concatenate([vmap.d_payload, new_payload]),
+    )
 
     # duplicates are adjacent (each side is deduped): later row absorbs,
-    # capped — prior sums take precedence (they arrived first)
-    prev_same = jnp.concatenate([jnp.zeros((1,), bool), p[1:] == p[:-1]])
+    # capped — prior sums take precedence (they arrived first; the stable
+    # sort keeps delta rows ahead of equal-keyed new rows)
+    prev_same = jnp.concatenate(
+        [jnp.zeros((1,), bool),
+         jnp.logical_and(p[1:] == p[:-1], k[1:] == k[:-1])]
+    )
     next_same = jnp.concatenate([prev_same[1:], jnp.zeros((1,), bool)])
-    c_prev = jnp.where(
-        prev_same, jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]]), 0.0
-    )
-    ps_prev = jnp.where(
+    pay_prev = jnp.where(
         prev_same[:, None],
-        jnp.concatenate([jnp.zeros((1, 3), ps.dtype), ps[:-1]]),
+        jnp.concatenate([jnp.zeros((1, 10), pay.dtype), pay[:-1]]),
         0.0,
     )
-    cs_prev = jnp.where(
-        prev_same[:, None],
-        jnp.concatenate([jnp.zeros((1, 6), cs.dtype), cs[:-1]]),
-        0.0,
-    )
+    c = pay[:, 0]
+    c_prev = pay_prev[:, 0]
     cap_add = jnp.clip(cap - c_prev, 0.0, c)
     scale = jnp.where(c > 0, cap_add / jnp.maximum(c, 1.0), 0.0)
-    c_out = c_prev + cap_add
-    ps_out = ps_prev + scale[:, None] * ps
-    cs_out = cs_prev + scale[:, None] * cs
+    pay_out = jnp.concatenate(
+        [
+            (c_prev + cap_add)[:, None],
+            pay_prev[:, 1:] + scale[:, None] * pay[:, 1:],
+        ],
+        axis=1,
+    )
     # first row of a duplicate pair dies
     p_out = jnp.where(next_same, INT32_MAX, p)
+    k_out = jnp.where(next_same, INT32_MAX, k)
     live = jnp.sum((p_out != INT32_MAX).astype(jnp.int32))
     # recompact: live ascending, dead/empty at the end
-    forder = jnp.argsort(p_out, stable=True)
-    return (
-        p_out[forder], k[forder], c_out[forder], ps_out[forder],
-        cs_out[forder], live,
-    )
+    p_f, k_f, pay_f = _sort_rows(p_out, k_out, pay_out)
+    return p_f, k_f, pay_f, live
 
 
-def _compact_into_main(vmap: VoxelMap, dp, dk, dc, dps, dcs, cap):
-    """LSM flush: fold sorted raw-sum entries [L] into the main tier.
-    Returns (main arrays [C], overflow count)."""
+def _compact_into_main(vmap: VoxelMap, dskey, dpacked, dpayload, cap):
+    """LSM flush: fold raw-sum entries [L] into the main tier.
+    Returns (skey [C], packed [C], payload [C,10], view, overflow)."""
     c_cap = vmap.capacity
-    comb_packed = jnp.concatenate([vmap.packed, dp])
-    comb_keys = jnp.concatenate([vmap.keys, dk])
+    l = dskey.shape[0]
     is_old = jnp.concatenate(
-        [jnp.ones((c_cap,), bool), jnp.zeros((dp.shape[0],), bool)]
+        [jnp.ones((c_cap,), jnp.int32), jnp.zeros((l,), jnp.int32)]
     )
-    comb_cnt = jnp.concatenate([vmap.count, dc])
-    comb_a = jnp.concatenate([vmap.mean, dps])
-    comb_b = jnp.concatenate([vmap.cov, dcs])
+    p, k, pay, old_i = _sort_rows(
+        jnp.concatenate([vmap.skey, dskey]),
+        jnp.concatenate([vmap.packed, dpacked]),
+        jnp.concatenate([vmap.payload, dpayload]),
+        is_old,
+    )
+    old = old_i.astype(bool)
 
-    order = jnp.argsort(comb_packed, stable=True)
-    p = comb_packed[order]
-    old = is_old[order]
-    k = comb_keys[order]
-    cnt = comb_cnt[order]
-    a = comb_a[order]
-    b = comb_b[order]
-
-    prev_same = jnp.concatenate([jnp.zeros((1,), bool), p[1:] == p[:-1]])
+    prev_same = jnp.concatenate(
+        [jnp.zeros((1,), bool),
+         jnp.logical_and(p[1:] == p[:-1], k[1:] == k[:-1])]
+    )
     prev_old = jnp.concatenate([jnp.zeros((1,), bool), old[:-1]])
-    prev_cnt = jnp.concatenate([jnp.zeros((1,), cnt.dtype), cnt[:-1]])
-    prev_a = jnp.concatenate([jnp.zeros((1, 3), a.dtype), a[:-1]])
-    prev_b = jnp.concatenate([jnp.zeros((1, 6), b.dtype), b[:-1]])
+    pay_prev = jnp.concatenate([jnp.zeros((1, 10), pay.dtype), pay[:-1]])
 
     is_new = jnp.logical_and(~old, p != INT32_MAX)
     merged = jnp.logical_and(is_new, jnp.logical_and(prev_same, prev_old))
 
-    c_main = jnp.where(merged, prev_cnt, 0.0)
-    mean_m = jnp.where(merged[:, None], prev_a, 0.0)
-    cov_m = jnp.where(merged[:, None], prev_b, 0.0)
-    out_cnt, out_mean, out_cov = _combine(c_main, mean_m, cov_m, cnt, a, b, cap)
+    c_main = jnp.where(merged, pay_prev[:, 0], 0.0)
+    mean_m = jnp.where(merged[:, None], pay_prev[:, 1:4], 0.0)
+    cov_m = jnp.where(merged[:, None], pay_prev[:, 4:10], 0.0)
+    out_cnt, out_mean, out_cov = _combine(
+        c_main, mean_m, cov_m, pay[:, 0], pay[:, 1:4], pay[:, 4:10], cap
+    )
 
     next_absorbs = jnp.concatenate([merged[1:], jnp.zeros((1,), bool)])
     dead = jnp.logical_and(old, next_absorbs)
-    row_packed = jnp.where(
-        jnp.logical_and(p != INT32_MAX, ~dead), p, INT32_MAX
+    keep_row = jnp.logical_and(p != INT32_MAX, ~dead)
+    row_skey = jnp.where(keep_row, p, INT32_MAX)
+    row_packed = jnp.where(keep_row, k, INT32_MAX)
+    row_payload = jnp.where(
+        is_new[:, None],
+        jnp.concatenate([out_cnt[:, None], out_mean, out_cov], axis=1),
+        pay,
     )
-    row_cnt = jnp.where(is_new, out_cnt, cnt)
-    row_mean = jnp.where(is_new[:, None], out_mean, a)
-    row_cov = jnp.where(is_new[:, None], out_cov, b)
 
-    forder = jnp.argsort(row_packed, stable=True)[:c_cap]
-    kept = row_packed[forder] != INT32_MAX
-    n_live = jnp.sum((row_packed != INT32_MAX).astype(jnp.int32))
-    overflow = jnp.maximum(n_live - jnp.sum(kept.astype(jnp.int32)), 0)
-    return (
-        row_packed[forder], k[forder], row_cnt[forder], row_mean[forder],
-        row_cov[forder], overflow,
+    f_skey, f_packed, f_payload = _sort_rows(row_skey, row_packed, row_payload)
+    f_skey, f_packed, f_payload = (
+        f_skey[:c_cap], f_packed[:c_cap], f_payload[:c_cap]
     )
+    kept = f_skey != INT32_MAX
+    n_live = jnp.sum((row_skey != INT32_MAX).astype(jnp.int32))
+    overflow = jnp.maximum(n_live - jnp.sum(kept.astype(jnp.int32)), 0)
+    f_view, _ = _build_view(f_skey)
+    return f_skey, f_packed, f_payload, f_view, overflow
 
 
 def insert(
@@ -341,62 +439,69 @@ def insert(
     dropped_range = jnp.sum(
         jnp.logical_and(valid, ~in_range).astype(jnp.int32)
     )
+    skey = sm.skey_of(jnp.where(ok, packed, INT32_MAX))
+    packed = jnp.where(ok, packed, INT32_MAX)
 
-    order = jnp.argsort(jnp.where(ok, packed, INT32_MAX), stable=True)
-    packed_s = packed[order]
-    ok_s = ok[order]
-    pts_s = points[order]
-    covs_s = covs_packed[order]
+    raw = jnp.concatenate(
+        [
+            ok.astype(dtype)[:, None],
+            points * ok.astype(dtype)[:, None],
+            covs_packed * ok.astype(dtype)[:, None],
+        ],
+        axis=1,
+    )  # [N, 10] per-point raw contribution
+    skey_s, packed_s, raw_s = _sort_rows(skey, packed, raw)
+    ok_s = skey_s != INT32_MAX
 
-    head, seg_id = sm.unique_segments(packed_s, ok_s)
-    w = ok_s.astype(dtype)
-    seg_cnt = jax.ops.segment_sum(w, seg_id, num_segments=n)
-    seg_psum = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n)
-    seg_csum = jax.ops.segment_sum(covs_s * w[:, None], seg_id, num_segments=n)
+    head, seg_id = sm.unique_segments2(skey_s, packed_s, ok_s)
+    seg_pay = jax.ops.segment_sum(raw_s, seg_id, num_segments=n)
 
+    # compact segment heads to the front (ascending skey preserved, since
+    # head positions ascend with skey in the sorted batch)
     pos = jnp.arange(n, dtype=jnp.int32)
-    comp = jnp.argsort(jnp.where(head, pos, INT32_MAX), stable=True)
-    new_packed = jnp.where(head[comp], packed_s[comp], INT32_MAX)
-    new_keys = keys[order][comp]
-    seg_of = seg_id[comp]
-    new_cnt = jnp.where(head[comp], seg_cnt[seg_of], 0.0)
-    new_psum = jnp.where(head[comp][:, None], seg_psum[seg_of], 0.0)
-    new_csum = jnp.where(head[comp][:, None], seg_csum[seg_of], 0.0)
+    hkey = jnp.where(head, pos, INT32_MAX)
+    h_sorted, new_skey, new_packed, comp = jax.lax.sort(
+        (hkey, skey_s, packed_s, pos), num_keys=1, is_stable=True
+    )
+    is_head = h_sorted != INT32_MAX
+    new_payload = jnp.where(is_head[:, None], seg_pay[seg_id[comp]], 0.0)
+    new_packed = jnp.where(is_head, new_packed, INT32_MAX)
+    new_skey = jnp.where(is_head, new_skey, INT32_MAX)
 
-    dp, dk, dc, dps, dcs, d_live = _merge_delta(
-        vmap, new_packed, new_keys, new_cnt, new_psum, new_csum, cap
+    dp, dk, dpay, d_live = _merge_delta(
+        vmap, new_skey, new_packed, new_payload, cap
     )
 
     def no_compact(_):
+        d_view, _ = _build_view(dp[:d_cap])
         return (
-            vmap.packed, vmap.keys, vmap.count, vmap.mean, vmap.cov,
-            dp[:d_cap], dk[:d_cap], dc[:d_cap], dps[:d_cap], dcs[:d_cap],
+            vmap.skey, vmap.packed, vmap.payload, vmap.view,
+            dp[:d_cap], dk[:d_cap], dpay[:d_cap], d_view,
             jnp.asarray(0, jnp.int32),
         )
 
-    def compact(_):
-        m_packed, m_keys, m_cnt, m_mean, m_cov, overflow = _compact_into_main(
-            vmap, dp, dk, dc, dps, dcs, cap
+    def compact_now(_):
+        m_skey, m_packed, m_payload, m_view, overflow = _compact_into_main(
+            vmap, dp, dk, dpay, cap
         )
         return (
-            m_packed, m_keys, m_cnt, m_mean, m_cov,
+            m_skey, m_packed, m_payload, m_view,
             jnp.full((d_cap,), INT32_MAX, jnp.int32),
-            jnp.zeros((d_cap, 3), jnp.int32),
-            jnp.zeros((d_cap,), dtype),
-            jnp.zeros((d_cap, 3), dtype),
-            jnp.zeros((d_cap, 6), dtype),
+            jnp.full((d_cap,), INT32_MAX, jnp.int32),
+            jnp.zeros((d_cap, 10), dtype),
+            _empty_view(d_cap),
             overflow,
         )
 
     (
-        m_packed, m_keys, m_cnt, m_mean, m_cov,
-        o_dp, o_dk, o_dc, o_dps, o_dcs, overflow,
-    ) = jax.lax.cond(d_live <= d_cap, no_compact, compact, None)
+        m_skey, m_packed, m_payload, m_view,
+        o_dp, o_dk, o_dpay, o_dview, overflow,
+    ) = jax.lax.cond(d_live <= d_cap, no_compact, compact_now, None)
 
     new_map = VoxelMap(
         origin=vmap.origin,
-        packed=m_packed, keys=m_keys, count=m_cnt, mean=m_mean, cov=m_cov,
-        d_packed=o_dp, d_keys=o_dk, d_cnt=o_dc, d_psum=o_dps, d_csum=o_dcs,
+        skey=m_skey, packed=m_packed, payload=m_payload, view=m_view,
+        d_skey=o_dp, d_packed=o_dk, d_payload=o_dpay, d_view=o_dview,
     )
     return new_map, dropped_range + overflow
 
@@ -410,23 +515,20 @@ def compact(
     vmap: VoxelMap, *, max_points_per_voxel: int
 ) -> tuple[VoxelMap, jnp.ndarray]:
     """Force the LSM flush (delta -> main).  Used before export/eviction."""
-    cap = jnp.asarray(max_points_per_voxel, vmap.mean.dtype)
-    m_packed, m_keys, m_cnt, m_mean, m_cov, overflow = _compact_into_main(
-        vmap, vmap.d_packed, vmap.d_keys, vmap.d_cnt, vmap.d_psum,
-        vmap.d_csum, cap,
+    cap = jnp.asarray(max_points_per_voxel, vmap.payload.dtype)
+    m_skey, m_packed, m_payload, m_view, overflow = _compact_into_main(
+        vmap, vmap.d_skey, vmap.d_packed, vmap.d_payload, cap
     )
     d_cap = vmap.delta_capacity
-    dtype = vmap.mean.dtype
+    dtype = vmap.payload.dtype
     return (
         VoxelMap(
             origin=vmap.origin,
-            packed=m_packed, keys=m_keys, count=m_cnt, mean=m_mean,
-            cov=m_cov,
+            skey=m_skey, packed=m_packed, payload=m_payload, view=m_view,
+            d_skey=jnp.full((d_cap,), INT32_MAX, jnp.int32),
             d_packed=jnp.full((d_cap,), INT32_MAX, jnp.int32),
-            d_keys=jnp.zeros((d_cap, 3), jnp.int32),
-            d_cnt=jnp.zeros((d_cap,), dtype),
-            d_psum=jnp.zeros((d_cap, 3), dtype),
-            d_csum=jnp.zeros((d_cap, 6), dtype),
+            d_payload=jnp.zeros((d_cap, 10), dtype),
+            d_view=_empty_view(d_cap),
         ),
         overflow,
     )
@@ -449,7 +551,8 @@ def evict_beyond(
     del max_probe
     vmap, _ = compact(vmap, max_points_per_voxel=max_points_per_voxel)
     live = vmap.live()
-    centers = (vmap.keys.astype(vmap.mean.dtype) + 0.5) * voxel_size
+    keys = sm.unpack_keys(vmap.packed, vmap.origin)
+    centers = (keys.astype(vmap.payload.dtype) + 0.5) * voxel_size
     dist = jnp.linalg.norm(centers - center, axis=-1)
     survive = jnp.logical_and(live, dist <= distance_threshold)
     removed = jnp.sum(live.astype(jnp.int32)) - jnp.sum(
@@ -457,19 +560,20 @@ def evict_beyond(
     )
 
     new_origin = vx.voxel_key(center, voxel_size) - 512
-    repacked, in_range = sm.pack_keys(vmap.keys, new_origin)
+    repacked, in_range = sm.pack_keys(keys, new_origin)
     keep = jnp.logical_and(survive, in_range)
     repacked = jnp.where(keep, repacked, INT32_MAX)
+    reskey = sm.skey_of(repacked)
 
-    order = jnp.argsort(repacked, stable=True)
+    f_skey, f_packed, f_payload = _sort_rows(reskey, repacked, vmap.payload)
+    f_view, _ = _build_view(f_skey)
     return (
         vmap._replace(
             origin=new_origin,
-            packed=repacked[order],
-            keys=vmap.keys[order],
-            count=vmap.count[order],
-            mean=vmap.mean[order],
-            cov=vmap.cov[order],
+            skey=f_skey,
+            packed=f_packed,
+            payload=f_payload,
+            view=f_view,
         ),
         removed,
     )

@@ -5,20 +5,28 @@ TPU-native re-design of the reference `CloudPreprocessor`
 
 * extrinsic LiDAR→IMU transform (`CloudPreprocessor.cpp:16`);
 * motion-compensation deskew (`:25-74`) — the reference walks states and
-  transforms contiguous point blocks; here each point gathers the composed
-  transform of its bracketing state (identical block semantics, one
-  vectorised gather instead of a sequential walk);
+  transforms contiguous point blocks; here each point selects the composed
+  transform of its bracketing state (identical block semantics) via a
+  one-hot [N, M+1] @ [M+1, 12] MXU contraction — the pose table is tiny, so
+  a matmul runs at full throughput where a random gather would serialise on
+  HBM latency;
 * voxel downsample keeping the first point per voxel in scan order
-  (`:85-99`) — sort-by-hash + segment heads;
+  (`:85-99`) — one stable variadic sort + segment heads;
 * per-point covariance + plane regularisation (`:103-124`) — the reference
   runs KD-tree KNN(30) + SVD; a KD-tree is pointer-chasing and TPU-hostile,
   so the neighbourhood is the 27-voxel grid patch around each kept point
-  (≈0.45 m radius at 0.3 m voxels), aggregated from per-voxel moments via
-  sort-merge joins on packed keys (`ops/sortmerge.py`).  Output role
-  preserved: a plane-
-  regularised Σ = I − (1−ε)·n̂n̂ᵀ per kept point (ε = 1e-2,
-  `CloudPreprocessor.hpp:30-31`), identity-regularised when the
-  neighbourhood has <3 points (`CloudPreprocessor.cpp:113-116`).
+  (≈0.45 m radius at 0.3 m voxels).  The 3×3×3 aggregation is SEPARABLE:
+  in a key-sorted table the ±1 minor-axis neighbours are *adjacent rows*,
+  so each axis is one shift-and-add pass, and switching the minor axis is
+  one cheap variadic re-sort (axis-rotated key packing).  Three passes +
+  three sorts replace any hash/probe/join machinery, with zero random
+  access.  Moments are accumulated about each voxel's own centre
+  (parallel-axis shifted between cells), which keeps every f32 covariance
+  term O(voxel_size²) — strictly better conditioned than accumulating raw
+  world coordinates.  Output role preserved: a plane-regularised
+  Σ = U·diag(1,1,ε)·Uᵀ per kept point (ε = 1e-2,
+  `CloudPreprocessor.hpp:30-31`), identity when the neighbourhood has <3
+  points (`CloudPreprocessor.cpp:113-116`).
 """
 
 from __future__ import annotations
@@ -31,6 +39,9 @@ from eskf_lio_tpu.ops import eig3, voxel as vx
 from eskf_lio_tpu.ops import sortmerge as sm
 from eskf_lio_tpu.types import Pose, ProcessedScan, Scan, StateHistory
 from eskf_lio_tpu.ops import lie
+
+_BITS = 10
+_MASK = (1 << _BITS) - 1
 
 
 def deskew(
@@ -72,16 +83,104 @@ def deskew(
         + T_end_inv.t
     )
 
-    # per-point state index: first state with t_state > t_point
-    idx = jnp.searchsorted(ts, t_rel, side="right")
+    # per-point state index: first state with t_state > t_point.  The state
+    # table is tiny, so rank-by-comparison (a [N, M+1] VPU reduction) beats
+    # a log-round binary search of gathers.
+    idx = jnp.sum(
+        (t_rel[:, None] >= ts[None, :]).astype(jnp.int32), axis=1
+    )
     idx = jnp.clip(idx, 1, last_valid)
 
-    R_pt = R_c[idx]  # [N, 3, 3]
-    t_pt = t_c[idx]  # [N, 3]
+    # Per-point pose fetch as a one-hot matmul instead of a [N,3,4] random
+    # gather: [N, M+1] @ [M+1, 12] runs on the MXU at full throughput.
+    m1 = R_c.shape[0]
+    table = jnp.concatenate(
+        [R_c.reshape(m1, 9), t_c], axis=1
+    )  # [M+1, 12]
+    onehot = jax.nn.one_hot(idx, m1, dtype=points.dtype)  # [N, M+1]
+    Rt = jnp.einsum(
+        "nm,mk->nk", onehot, table, precision="highest"
+    )  # [N, 12]
+    R_pt = Rt[:, :9].reshape(-1, 3, 3)
+    t_pt = Rt[:, 9:]
     out = (
         jnp.einsum("nij,nj->ni", R_pt, points, precision="highest") + t_pt
     )
     return jnp.where(valid[:, None], out, points)
+
+
+def _shift_moments(m: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Parallel-axis shift of packed moments [..., 10] = (m0, m1[3], m2[6])
+    accumulated about centre c to moments about centre c - d (i.e. the
+    source cell sits at offset +d from the target's centre):
+    m1' = m1 + m0·d;  m2'_ab = m2_ab + d_a m1_b + d_b m1_a + m0 d_a d_b."""
+    m0 = m[..., 0:1]
+    m1 = m[..., 1:4]
+    m2 = m[..., 4:10]
+    m1s = m1 + m0 * d
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    x, y, z = m1[..., 0], m1[..., 1], m1[..., 2]
+    m0s = m0[..., 0]
+    m2s = jnp.stack(
+        [
+            m2[..., 0] + 2 * dx * x + m0s * dx * dx,
+            m2[..., 1] + dx * y + dy * x + m0s * dx * dy,
+            m2[..., 2] + dx * z + dz * x + m0s * dx * dz,
+            m2[..., 3] + 2 * dy * y + m0s * dy * dy,
+            m2[..., 4] + dy * z + dz * y + m0s * dy * dz,
+            m2[..., 5] + 2 * dz * z + m0s * dz * dz,
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([m0, m1s, m2s], axis=-1)
+
+
+def _axis_pass(
+    rkey: jnp.ndarray, m: jnp.ndarray, d_axis: jnp.ndarray
+) -> jnp.ndarray:
+    """One separable neighbourhood pass: rows sorted by `rkey` (minor axis
+    in the low _BITS bits, INT32_MAX dead tail); sums each row's moments
+    with its ±1 minor-axis neighbours, which are adjacent rows when
+    present.  `d_axis` [3] is +voxel_size along the pass axis."""
+    live = rkey != sm.INT32_MAX
+    minor = rkey & _MASK
+
+    nxt_key = jnp.concatenate([rkey[1:], jnp.full((1,), sm.INT32_MAX, rkey.dtype)])
+    nxt_live = jnp.concatenate([live[1:], jnp.zeros((1,), bool)])
+    prv_key = jnp.concatenate([jnp.full((1,), sm.INT32_MAX, rkey.dtype), rkey[:-1]])
+    prv_live = jnp.concatenate([jnp.zeros((1,), bool), live[:-1]])
+
+    plus_ok = (
+        live & nxt_live & (nxt_key == rkey + 1) & (minor != _MASK)
+    )
+    minus_ok = (
+        live & prv_live & (prv_key == rkey - 1) & (minor != 0)
+    )
+
+    m_nxt = jnp.concatenate([m[1:], jnp.zeros((1, m.shape[1]), m.dtype)])
+    m_prv = jnp.concatenate([jnp.zeros((1, m.shape[1]), m.dtype), m[:-1]])
+    out = (
+        m
+        + jnp.where(plus_ok[:, None], _shift_moments(m_nxt, d_axis), 0.0)
+        + jnp.where(minus_ok[:, None], _shift_moments(m_prv, -d_axis), 0.0)
+    )
+    return jnp.where(live[:, None], out, 0.0)
+
+
+def _rotate_key(packed: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Re-pack a (x,y,z) packed key so `axis` occupies the minor bits:
+    axis=2 -> x|y|z (identity), axis=1 -> x|z|y, axis=0 -> y|z|x.
+    Dead keys (INT32_MAX) stay INT32_MAX."""
+    x = (packed >> (2 * _BITS)) & _MASK
+    y = (packed >> _BITS) & _MASK
+    z = packed & _MASK
+    if axis == 2:
+        r = packed
+    elif axis == 1:
+        r = (x << (2 * _BITS)) | (z << _BITS) | y
+    else:
+        r = (y << (2 * _BITS)) | (z << _BITS) | x
+    return jnp.where(packed == sm.INT32_MAX, sm.INT32_MAX, r)
 
 
 def downsample_and_covariances(
@@ -94,12 +193,11 @@ def downsample_and_covariances(
     `CloudPreprocessor.cpp:76-127`), padded/compacted to
     `config.max_scan_points`.
 
-    Sort-merge formulation: one stable sort groups the scan by packed voxel
-    key (stability = the reference's first-in-scan-order keep rule for
-    free); per-voxel 0th/1st/2nd moments come from segment sums; the
-    27-voxel neighbourhood moments come from ONE `merge_join` of all
-    kept-point neighbour keys against the sorted per-voxel table.  No hash
-    tables, no probe loops — random access is reduced to payload gathers.
+    One stable variadic sort groups the scan by packed voxel key (stability
+    = the reference's first-in-scan-order keep rule for free); per-voxel
+    voxel-centred moments come from segment sums; the 27-voxel
+    neighbourhood is aggregated by three separable adjacent-row passes
+    (see module docstring).  No hash tables, no probe loops, no joins.
     """
     n = points.shape[0]
     k_out = config.max_scan_points
@@ -113,71 +211,105 @@ def downsample_and_covariances(
     packed, in_range = sm.pack_keys(keys, origin)
     ok = jnp.logical_and(valid, in_range)
 
-    order = jnp.argsort(jnp.where(ok, packed, sm.INT32_MAX), stable=True)
-    packed_s = packed[order]
-    ok_s = ok[order]
-    pts_s = points[order]
+    # voxel-centred coordinates (f32-friendly moments)
+    centers = (keys.astype(dtype) + 0.5) * vs
+    q = jnp.where(ok[:, None], points - centers, 0.0)
+
+    packed_m = jnp.where(ok, packed, sm.INT32_MAX)
+    packed_s, qx_s, qy_s, qz_s = jax.lax.sort(
+        (packed_m, q[:, 0], q[:, 1], q[:, 2]), num_keys=1, is_stable=True
+    )
+    ok_s = packed_s != sm.INT32_MAX
+    q_s = jnp.stack([qx_s, qy_s, qz_s], axis=1)
 
     head, seg_id = sm.unique_segments(packed_s, ok_s)
     w = ok_s.astype(dtype)
-    seg_n = jax.ops.segment_sum(w, seg_id, num_segments=n)
-    seg_s = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n)
-    pp = jnp.stack(
+    raw = jnp.concatenate(
         [
-            pts_s[:, 0] * pts_s[:, 0],
-            pts_s[:, 0] * pts_s[:, 1],
-            pts_s[:, 0] * pts_s[:, 2],
-            pts_s[:, 1] * pts_s[:, 1],
-            pts_s[:, 1] * pts_s[:, 2],
-            pts_s[:, 2] * pts_s[:, 2],
+            w[:, None],
+            q_s * w[:, None],
+            jnp.stack(
+                [
+                    qx_s * qx_s, qx_s * qy_s, qx_s * qz_s,
+                    qy_s * qy_s, qy_s * qz_s, qz_s * qz_s,
+                ],
+                axis=-1,
+            )
+            * w[:, None],
         ],
-        axis=-1,
-    )
-    seg_q = jax.ops.segment_sum(pp * w[:, None], seg_id, num_segments=n)
+        axis=1,
+    )  # [N, 10] per-point moments about the voxel centre
+    seg_m = jax.ops.segment_sum(raw, seg_id, num_segments=n)  # [N, 10]
+    table_m = seg_m[seg_id]  # broadcast back (valid at heads)
 
     # compact segment heads to the front; ascending packed order preserved,
     # and (stable sort) each head is the FIRST point of its voxel in scan
     # order — exactly `CloudPreprocessor.cpp:87-99` semantics
     pos = jnp.arange(n, dtype=jnp.int32)
-    comp = jnp.argsort(jnp.where(head, pos, sm.INT32_MAX), stable=True)
-    table_packed = jnp.where(head[comp], packed_s[comp], sm.INT32_MAX)
-    seg_of = seg_id[comp]
-    tb_n = seg_n[seg_of]
-    tb_s = seg_s[seg_of]
-    tb_q = seg_q[seg_of]
-
-    sel = comp[:k_out]
-    k_eff = sel.shape[0]  # static: min(n, k_out)
-    out_valid = head[sel]
-    out_points = pts_s[sel]
-    out_packed = table_packed[:k_eff]
-
-    # ---- 27-voxel neighbourhood moments via one merge join ---------------
-    offs = sm.neighbor_offsets_packed()  # [27]
-    safe_base = jnp.where(out_valid, out_packed, 0)
-    nb = safe_base[:, None] + offs[None, :]  # [K, 27]
-    nb_valid = jnp.broadcast_to(out_valid[:, None], nb.shape)
-    idx, hit = sm.merge_join(
-        table_packed, nb.reshape(-1), nb_valid.reshape(-1)
+    hkey = jnp.where(head, pos, sm.INT32_MAX)
+    sorted_cols = jax.lax.sort(
+        (hkey, packed_s, qx_s, qy_s, qz_s)
+        + tuple(table_m[:, j] for j in range(10)),
+        num_keys=1,
+        is_stable=True,
     )
-    hw = hit.astype(dtype)
-    nb_n = (tb_n[idx] * hw).reshape(k_eff, 27)
-    nb_s = (tb_s[idx] * hw[:, None]).reshape(k_eff, 27, 3)
-    nb_q = (tb_q[idx] * hw[:, None]).reshape(k_eff, 27, 6)
+    h_sorted = sorted_cols[0]
+    t_live = h_sorted != sm.INT32_MAX
+    t_packed = jnp.where(t_live, sorted_cols[1], sm.INT32_MAX)
+    t_q = jnp.stack(sorted_cols[2:5], axis=1)
+    t_m = jnp.where(
+        t_live[:, None], jnp.stack(sorted_cols[5:15], axis=1), 0.0
+    )
 
-    cnt = jnp.sum(nb_n, axis=1)  # [K]
-    s = jnp.sum(nb_s, axis=1)  # [K, 3]
-    qm = jnp.sum(nb_q, axis=1)  # [K, 6]
+    # ---- separable 3x3x3 neighbourhood aggregation ------------------------
+    # z-pass in natural (x|y|z) order, then re-sort so y / x become the
+    # minor axis; finish back in natural order (the output layout).
+    ez = jnp.asarray([0.0, 0.0, vs], dtype)
+    ey = jnp.asarray([0.0, vs, 0.0], dtype)
+    ex = jnp.asarray([vs, 0.0, 0.0], dtype)
 
+    m_z = _axis_pass(t_packed, t_m, ez)
+
+    ky = _rotate_key(t_packed, 1)
+    cols = jax.lax.sort(
+        (ky, t_packed) + tuple(m_z[:, j] for j in range(10)), num_keys=1
+    )
+    m_y = _axis_pass(cols[0], jnp.stack(cols[2:12], axis=1), ey)
+    packed_y = cols[1]
+
+    kx = _rotate_key(packed_y, 0)
+    cols = jax.lax.sort(
+        (kx, packed_y) + tuple(m_y[:, j] for j in range(10)), num_keys=1
+    )
+    m_x = _axis_pass(cols[0], jnp.stack(cols[2:12], axis=1), ex)
+    packed_x = cols[1]
+
+    # back to ascending packed (= head-compacted) order
+    cols = jax.lax.sort(
+        (packed_x,) + tuple(m_x[:, j] for j in range(10)), num_keys=1
+    )
+    nb = jnp.stack(cols[1:11], axis=1)  # [N, 10] 27-neighbourhood moments
+
+    # rows 0..K-1 of `nb` correspond 1:1 to rows of (t_packed, t_q): both
+    # are the live voxels in ascending packed order (keys unique)
+    sel = slice(0, min(n, k_out))
+    out_valid = t_live[sel]
+    out_packed = t_packed[sel]
+    out_keys = sm.unpack_keys(out_packed, origin)
+    out_centers = (out_keys.astype(dtype) + 0.5) * vs
+    out_points = jnp.where(
+        out_valid[:, None], out_centers + t_q[sel], 0.0
+    )
+
+    cnt = nb[sel, 0]
     denom = jnp.maximum(cnt, 1.0)
-    mu = s / denom[:, None]
-    # E[ppᵀ] − μμᵀ  (matches Open3D ComputeCovariance's 1/N normalisation)
-    exx = qm[:, 0] / denom - mu[:, 0] * mu[:, 0]
-    exy = qm[:, 1] / denom - mu[:, 0] * mu[:, 1]
-    exz = qm[:, 2] / denom - mu[:, 0] * mu[:, 2]
-    eyy = qm[:, 3] / denom - mu[:, 1] * mu[:, 1]
-    eyz = qm[:, 4] / denom - mu[:, 1] * mu[:, 2]
-    ezz = qm[:, 5] / denom - mu[:, 2] * mu[:, 2]
+    mu_c = nb[sel, 1:4] / denom[:, None]  # about the voxel centre
+    exx = nb[sel, 4] / denom - mu_c[:, 0] * mu_c[:, 0]
+    exy = nb[sel, 5] / denom - mu_c[:, 0] * mu_c[:, 1]
+    exz = nb[sel, 6] / denom - mu_c[:, 0] * mu_c[:, 2]
+    eyy = nb[sel, 7] / denom - mu_c[:, 1] * mu_c[:, 1]
+    eyz = nb[sel, 8] / denom - mu_c[:, 1] * mu_c[:, 2]
+    ezz = nb[sel, 9] / denom - mu_c[:, 2] * mu_c[:, 2]
     cov = jnp.stack(
         [
             jnp.stack([exx, exy, exz], -1),
@@ -200,6 +332,7 @@ def downsample_and_covariances(
     cov_reg = jnp.where(few[:, None, None], eye, cov_reg)
 
     # pad to the static output budget when the raw cloud was smaller
+    k_eff = out_points.shape[0]
     if k_eff < k_out:
         pad = k_out - k_eff
         out_points = jnp.concatenate(

@@ -45,6 +45,58 @@ def pack_keys(keys: jnp.ndarray, origin: jnp.ndarray) -> tuple[jnp.ndarray, jnp.
     return jnp.where(in_range, packed, INT32_MAX), in_range
 
 
+def unpack_keys(packed: jnp.ndarray, origin: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `pack_keys`: packed int32 -> [..., 3] voxel coords.
+    Sentinel (INT32_MAX) rows produce junk; callers mask by liveness."""
+    rel = jnp.stack(
+        [
+            (packed >> (2 * _BITS)) & _MASK,
+            (packed >> _BITS) & _MASK,
+            packed & _MASK,
+        ],
+        axis=-1,
+    )
+    return rel + origin
+
+
+def mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """Bijective 32-bit mixer (lowbias32 finalizer).  uint32 -> uint32.
+    Bijectivity means equal hashes ⟺ equal inputs — hash order is a valid
+    total order for exact-match dictionaries, with uniformly distributed
+    keys (the property the bucket index relies on)."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def skey_of(packed: jnp.ndarray) -> jnp.ndarray:
+    """Hash sort key of a packed voxel key: int32 whose ascending order is
+    the uint32 order of mix32(packed).  INT32_MAX passes through as the
+    empty sentinel; a real key hashing to INT32_MAX is remapped to
+    INT32_MAX-1 (a 2^-32 chance of one unreachable voxel, documented)."""
+    h = mix32(packed) ^ jnp.uint32(0x80000000)
+    s = jax.lax.bitcast_convert_type(h, jnp.int32)
+    s = jnp.where(s == INT32_MAX, INT32_MAX - 1, s)
+    return jnp.where(packed == INT32_MAX, INT32_MAX, s)
+
+
+def bucket_of(skey: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
+    """Top log2(n_buckets) bits of the uint32 order of an skey."""
+    if n_buckets <= 1:
+        return jnp.zeros(skey.shape, jnp.int32)
+    bits = n_buckets.bit_length() - 1
+    ub = jax.lax.bitcast_convert_type(skey, jnp.uint32) ^ jnp.uint32(
+        0x80000000
+    )
+    return jax.lax.bitcast_convert_type(
+        ub >> jnp.uint32(32 - bits), jnp.int32
+    )
+
+
 def neighbor_offsets_packed() -> jnp.ndarray:
     """[27] packed-key offsets of the 3x3x3 neighbourhood."""
     offs = []
@@ -97,6 +149,27 @@ def merge_join(
     hit_out = jnp.zeros((q,), bool).at[qpos].set(ok, mode="drop")
     hit_out = jnp.logical_and(hit_out, jnp.logical_and(query_valid, qk != INT32_MAX))
     return idx_out, hit_out
+
+
+def unique_segments2(
+    sorted_a: jnp.ndarray, sorted_b: jnp.ndarray, valid_sorted: jnp.ndarray
+):
+    """`unique_segments` over a (primary, secondary) key pair — used when the
+    primary is a hash skey whose one documented sentinel remap could alias
+    two distinct packed keys."""
+    n = sorted_a.shape[0]
+    same = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            jnp.logical_and(
+                sorted_a[1:] == sorted_a[:-1], sorted_b[1:] == sorted_b[:-1]
+            ),
+        ]
+    )
+    head = jnp.logical_and(valid_sorted, ~same)
+    seg_id = jnp.cumsum(head.astype(jnp.int32)) - 1
+    seg_id = jnp.where(valid_sorted, jnp.maximum(seg_id, 0), n - 1)
+    return head, seg_id
 
 
 def unique_segments(sorted_keys: jnp.ndarray, valid_sorted: jnp.ndarray):

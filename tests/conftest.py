@@ -21,7 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite jit-compiles large while_loop/scan
 # programs; caching them makes re-runs seconds instead of minutes.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
