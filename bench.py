@@ -51,8 +51,8 @@ def main() -> None:
         imu=ImuConfig(gravity=(0.0, 0.0, -9.81)),
         translation_noise=1e-4,
         rotation_noise=3e-5,
-        max_raw_points=32768,
-        max_scan_points=16384,
+        max_raw_points=24576,
+        max_scan_points=12288,
         max_imu_per_scan=64,
         hash_capacity_log2=19,
         scan_hash_capacity_log2=16,

@@ -24,7 +24,12 @@ import time
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", help="YAML config (reference schema)")
-    ap.add_argument("--input", help="npz sequence file")
+    ap.add_argument(
+        "--input",
+        help="npz sequence file, rosbag2 .db3 file, or rosbag2 directory",
+    )
+    ap.add_argument("--imu-topic", default="/alphasense/imu")
+    ap.add_argument("--lidar-topic", default="/hesai/pandar")
     ap.add_argument(
         "--synthetic", type=float, metavar="SECONDS",
         help="run the synthetic simulator for SECONDS instead of --input",
@@ -59,7 +64,21 @@ def main(argv: list[str] | None = None) -> int:
             duration=args.synthetic, points_per_scan=args.points_per_scan
         )
     elif args.input:
-        seq = dataset.load_npz(args.input)
+        import os
+
+        if args.input.endswith(".db3") or os.path.isdir(args.input):
+            # rosbag2 directly — the reference's `ros2 bag play` path
+            # (`launch/eskf_lio.launch.py:11-13`) without needing ROS
+            from eskf_lio_tpu.io import rosbag2
+
+            seq = rosbag2.load_rosbag2(
+                args.input,
+                imu_topic=args.imu_topic,
+                lidar_topic=args.lidar_topic,
+                max_scans=args.max_scans,
+            )
+        else:
+            seq = dataset.load_npz(args.input)
     else:
         ap.error("one of --input / --synthetic is required")
 
@@ -110,14 +129,23 @@ def main(argv: list[str] | None = None) -> int:
 
             checkpoint.save_checkpoint(args.checkpoint_out, odo)
 
-    if args.cloud_out and args.traj_out:
-        export.save_run(odo, args.cloud_out, args.traj_out)
-        print(f"saved {args.cloud_out}, {args.traj_out}")
-        if args.viz:
-            from eskf_lio_tpu.viz.visualize import render
+    if args.cloud_out:
+        pts, _ = export.map_to_cloud(odo.voxmap)
+        export.write_pcd(args.cloud_out, pts)
+        print(f"saved {args.cloud_out}")
+    if args.traj_out:
+        export.write_trajectory_json(
+            args.traj_out, odo.trajectory_t, odo.trajectory_R,
+            odo.trajectory_p,
+        )
+        print(f"saved {args.traj_out}")
+    if args.viz:
+        if not (args.cloud_out and args.traj_out):
+            ap.error("--viz requires --cloud-out and --traj-out")
+        from eskf_lio_tpu.viz.visualize import render
 
-            render(args.cloud_out, args.traj_out, args.viz)
-            print(f"rendered {args.viz}")
+        render(args.cloud_out, args.traj_out, args.viz)
+        print(f"rendered {args.viz}")
     return 0
 
 
