@@ -16,7 +16,7 @@ from eskf_lio_tpu.pipeline import replay
 
 config = Config(
     imu=ImuConfig(gravity=(0.0, 0.0, -9.81)),
-    translation_noise=1e-4, rotation_noise=3e-5,
+    translation_noise=1e-3, rotation_noise=3e-4,
     max_raw_points=24576, max_scan_points=12288, max_imu_per_scan=64,
     hash_capacity_log2=19, scan_hash_capacity_log2=16, max_probe=32,
 )

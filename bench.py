@@ -49,8 +49,8 @@ SCAN_RATE_HZ = 10.0  # Hesai Pandar real-time rate on exp21
 def main() -> None:
     config = Config(
         imu=ImuConfig(gravity=(0.0, 0.0, -9.81)),
-        translation_noise=1e-4,
-        rotation_noise=3e-5,
+        translation_noise=1e-3,
+        rotation_noise=3e-4,
         max_raw_points=24576,
         max_scan_points=12288,
         max_imu_per_scan=64,
@@ -58,8 +58,15 @@ def main() -> None:
         scan_hash_capacity_log2=16,
         max_probe=32,
     )
+    import numpy as _np
+
     seq = dataset.make_synthetic_sequence(
-        duration=13.0, points_per_scan=20000, seed=11
+        duration=13.0, points_per_scan=20000, seed=11,
+        # realistic sensor imperfections (datasheet-level noise + biases) —
+        # the filter models them, so the workload should contain them
+        imu_noise_gyro=4.9e-3, imu_noise_accel=0.0206,
+        gyro_bias=_np.array([0.002, -0.001, 0.0015]),
+        accel_bias=_np.array([0.02, -0.03, 0.01]),
     )
 
     init_scan, chunks, scans, evicts, _ = replay.pack_sequence(config, seq)

@@ -253,12 +253,20 @@ def downsample_and_covariances(
         num_keys=1,
         is_stable=True,
     )
-    h_sorted = sorted_cols[0]
+    # slice the voxel table to the output budget before the neighbourhood
+    # passes — kept rows are the first k voxels in ascending packed order.
+    # (When a scan has more distinct voxels than `max_scan_points`, voxels
+    # past the budget neither survive downsampling nor contribute to their
+    # neighbours' moments — the documented overflow path.)
+    kcap = min(n, k_out)
+    h_sorted = sorted_cols[0][:kcap]
     t_live = h_sorted != sm.INT32_MAX
-    t_packed = jnp.where(t_live, sorted_cols[1], sm.INT32_MAX)
-    t_q = jnp.stack(sorted_cols[2:5], axis=1)
+    t_packed = jnp.where(t_live, sorted_cols[1][:kcap], sm.INT32_MAX)
+    t_q = jnp.stack([c[:kcap] for c in sorted_cols[2:5]], axis=1)
     t_m = jnp.where(
-        t_live[:, None], jnp.stack(sorted_cols[5:15], axis=1), 0.0
+        t_live[:, None],
+        jnp.stack([c[:kcap] for c in sorted_cols[5:15]], axis=1),
+        0.0,
     )
 
     # ---- separable 3x3x3 neighbourhood aggregation ------------------------
@@ -292,7 +300,7 @@ def downsample_and_covariances(
 
     # rows 0..K-1 of `nb` correspond 1:1 to rows of (t_packed, t_q): both
     # are the live voxels in ascending packed order (keys unique)
-    sel = slice(0, min(n, k_out))
+    sel = slice(0, kcap)
     out_valid = t_live[sel]
     out_packed = t_packed[sel]
     out_keys = sm.unpack_keys(out_packed, origin)

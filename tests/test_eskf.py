@@ -242,7 +242,9 @@ def test_negative_dt_dropped(rng):
 
 
 def test_update_matches_oracle(rng):
-    cfg = Config()
+    # pin the reference YAML's tuning (`hilti_config.yaml:35-36`): this test
+    # asserts observation-dominated behaviour, which needs V << P
+    cfg = Config(translation_noise=1e-6, rotation_noise=1e-6)
     noise = eskf.make_noise_params(cfg)
     s = eskf.init_state(cfg)
     oracle = Oracle(cfg)
