@@ -29,7 +29,7 @@ init_scan, chunks, scans, evicts, _ = replay.pack_sequence(config, seq)
 init_step = odo.make_init_step(config)
 rstep = replay.make_replay_step(config)
 state = eskf.init_state(config)
-voxmap = vm.VoxelMap.create(config.hash_capacity)
+voxmap = vm.VoxelMap.create(config.hash_capacity, config.map_delta_capacity)
 voxmap, _ = init_step(voxmap, init_scan)
 prev = (jnp.eye(3), jnp.zeros(3))
 sl = lambda a, s, e: jax.tree.map(lambda x: x[s:e], a)

@@ -18,14 +18,14 @@ config = Config(
     imu=ImuConfig(gravity=(0.0, 0.0, -9.81)),
     translation_noise=1e-3, rotation_noise=3e-4,
     max_raw_points=24576, max_scan_points=12288, max_imu_per_scan=64,
-    hash_capacity_log2=19, scan_hash_capacity_log2=16, max_probe=32,
+    hash_capacity_log2=19, map_delta_log2=14, scan_hash_capacity_log2=16, max_probe=32,
 )
 seq = dataset.make_synthetic_sequence(duration=13.0, points_per_scan=20000, seed=11)
 init_scan, chunks, scans, evicts, _ = replay.pack_sequence(config, seq)
 init_step = odo.make_init_step(config)
 rstep = replay.make_replay_step(config)
 state = eskf.init_state(config)
-voxmap = vm.VoxelMap.create(config.hash_capacity)
+voxmap = vm.VoxelMap.create(config.hash_capacity, config.map_delta_capacity)
 voxmap, _ = init_step(voxmap, init_scan)
 prev_R, prev_t = jnp.eye(3), jnp.zeros(3)
 sl = lambda a, s, e: jax.tree.map(lambda x: x[s:e], a)

@@ -55,6 +55,7 @@ def main() -> None:
         max_scan_points=12288,
         max_imu_per_scan=64,
         hash_capacity_log2=19,
+        map_delta_log2=14,
         scan_hash_capacity_log2=16,
         max_probe=32,
     )
@@ -74,7 +75,7 @@ def main() -> None:
     replay_step = replay.make_replay_step(config)
 
     state = eskf.init_state(config)
-    voxmap = vm.VoxelMap.create(config.hash_capacity)
+    voxmap = vm.VoxelMap.create(config.hash_capacity, config.map_delta_capacity)
     voxmap, _ = init_step(voxmap, init_scan)
     prev_R, prev_t = jnp.eye(3), jnp.zeros(3)
 

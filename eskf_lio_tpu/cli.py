@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
         help="offline replay mode (whole batches per device dispatch)",
     )
     ap.add_argument(
+        "--stream", action="store_true",
+        help="threaded streaming mode: ingest thread + native SPSC queues "
+        "(the reference's two-thread architecture, main.cpp:58-70)",
+    )
+    ap.add_argument(
         "--devices", type=int, default=1,
         help="shard the map over this many devices (streaming mode)",
     )
@@ -103,6 +108,26 @@ def main(argv: list[str] | None = None) -> int:
         odo.trajectory_t = list(range(n))
         odo.trajectory_R = list(rotations)
         odo.trajectory_p = list(positions)
+    elif args.stream:
+        from eskf_lio_tpu.pipeline.stream import StreamingRunner, merged_stream
+
+        runner = StreamingRunner(config)
+        odo = runner.odo
+        if args.resume_from:
+            from eskf_lio_tpu.utils import checkpoint
+
+            checkpoint.load_checkpoint(args.resume_from, odo)
+        summary = runner.run(merged_stream(seq), max_scans=args.max_scans)
+        print(
+            f"step average elapsed time = {summary['avg_step_ms']:.2f} ms"
+        )
+        print(f"throughput = {summary['scans_per_sec']:.1f} scans/s "
+              f"(streaming, threaded ingest)")
+        print(f"map voxels = {summary['map_voxels']}")
+        if args.checkpoint_out:
+            from eskf_lio_tpu.utils import checkpoint
+
+            checkpoint.save_checkpoint(args.checkpoint_out, odo)
     else:
         if args.devices > 1:
             from eskf_lio_tpu.parallel.sharded_map import ShardedOdometry

@@ -107,6 +107,9 @@ class Config:
     max_scan_points: int = 32768  # post-downsample point budget (padded)
     max_imu_per_scan: int = 64  # IMU samples per scan interval (padded)
     hash_capacity_log2: int = 19  # voxel-map slots = 2**19 = 524288
+    map_delta_log2: int | None = None  # LSM delta-tier slots (default C/8).
+    # Smaller delta = cheaper per-scan merge (O(N+D) sorts), more frequent
+    # amortised compactions; 2**14 is the sweet spot at C=2**19.
     max_probe: int = 16  # linear-probe length bound
     scan_hash_capacity_log2: int = 17  # transient per-scan voxel table
     dtype: str = "float32"
@@ -117,6 +120,10 @@ class Config:
     @property
     def hash_capacity(self) -> int:
         return 1 << self.hash_capacity_log2
+
+    @property
+    def map_delta_capacity(self) -> int | None:
+        return None if self.map_delta_log2 is None else 1 << self.map_delta_log2
 
     @property
     def scan_hash_capacity(self) -> int:
@@ -198,6 +205,7 @@ def load_config(path: str) -> Config:
     # TPU-extension section (not present in the reference schema).
     tpu = raw.get("tpu", {}) or {}
     for key in (
+        "map_delta_log2",
         "max_raw_points",
         "max_scan_points",
         "max_imu_per_scan",

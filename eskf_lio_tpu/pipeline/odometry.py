@@ -256,7 +256,7 @@ class Odometry:
         self.predict_only = make_predict_only(config)
 
         self.state = init_state if init_state is not None else eskf.init_state(config)
-        self.voxmap = vm.VoxelMap.create(config.hash_capacity)
+        self.voxmap = vm.VoxelMap.create(config.hash_capacity, config.map_delta_capacity)
         self.prev_R = jnp.eye(3)
         self.prev_t = jnp.zeros(3)
 
@@ -307,19 +307,17 @@ class Odometry:
         )
 
     def _build_scan(self, rec: LidarRecord) -> Scan:
-        n_cap = self.config.max_raw_points
-        pts = rec.points[:n_cap]
-        t_rel = (rec.t[:n_cap] - rec.end_time).astype(np.float32)
-        n = len(pts)
-        pad = n_cap - n
+        # pad/truncate into the fixed device layout — the C++ fast path
+        # when the native runtime is built, numpy otherwise
+        from eskf_lio_tpu.io import native_runtime
+
+        xyz, t_rel, valid, _ = native_runtime.pack_scan(
+            rec.points, rec.t, rec.end_time, self.config.max_raw_points
+        )
         return Scan(
-            points=jnp.asarray(
-                np.vstack([pts, np.zeros((pad, 3), np.float32)])
-            ),
-            t_rel=jnp.asarray(np.concatenate([t_rel, np.zeros(pad, np.float32)])),
-            valid=jnp.asarray(
-                np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-            ),
+            points=jnp.asarray(xyz),
+            t_rel=jnp.asarray(t_rel),
+            valid=jnp.asarray(valid),
         )
 
     # -- main entry --------------------------------------------------------

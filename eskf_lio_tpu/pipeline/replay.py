@@ -178,7 +178,7 @@ def run_replay(
     replay = make_replay_step(config)
 
     state = init_state if init_state is not None else eskf.init_state(config)
-    voxmap = vm.VoxelMap.create(config.hash_capacity)
+    voxmap = vm.VoxelMap.create(config.hash_capacity, config.map_delta_capacity)
     voxmap, _ = init_step(voxmap, init_scan)
 
     prev_R = jnp.eye(3)

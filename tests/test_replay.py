@@ -48,6 +48,35 @@ def test_replay_tracks_ground_truth(seq):
     assert diags["icp_converged"].mean() > 0.9
 
 
+def test_tuned_defaults_centimetre_ate():
+    """Regression lock on the round-2 tuning study: with the default
+    (damped) update noises and realistic IMU noise + bias, the replay
+    trajectory tracks ground truth at centimetre level and VGICP converges
+    in a handful of iterations.  The reference's 1e-6 noises are unstable
+    on this workload (velocity-feedback oscillation — see Config docstring);
+    this test pins the fix."""
+    cfg = Config(
+        imu=ImuConfig(gravity=(0.0, 0.0, -9.81)),
+        max_raw_points=8192,
+        max_scan_points=4096,
+        max_imu_per_scan=48,
+        hash_capacity_log2=16,
+        scan_hash_capacity_log2=13,
+    )
+    sq = dataset.make_synthetic_sequence(
+        duration=5.0, points_per_scan=8000, seed=11,
+        imu_noise_gyro=4.9e-3, imu_noise_accel=0.0206,
+        gyro_bias=np.array([0.002, -0.001, 0.0015]),
+        accel_bias=np.array([0.02, -0.03, 0.01]),
+    )
+    pos, _, diags, _ = replay.run_replay(cfg, sq)
+    gt = sq.gt_positions[: len(pos)]
+    err = ate_rmse(pos, gt, align=True)
+    assert err < 0.03, f"tuned replay ATE {err:.4f} m"
+    assert diags["icp_converged"].mean() == 1.0
+    assert diags["icp_iterations"].max() <= 6
+
+
 def test_replay_batched_equivalence(seq):
     p1, _, _, _ = replay.run_replay(CFG, seq, max_scans=13)
     p2, _, _, _ = replay.run_replay(CFG, seq, max_scans=13, batch=4)
