@@ -56,8 +56,6 @@ def main() -> None:
         max_imu_per_scan=64,
         hash_capacity_log2=19,
         map_delta_log2=14,
-        scan_hash_capacity_log2=16,
-        max_probe=32,
     )
     import numpy as _np
 
@@ -70,7 +68,9 @@ def main() -> None:
         accel_bias=_np.array([0.02, -0.03, 0.01]),
     )
 
-    init_scan, chunks, scans, evicts, _ = replay.pack_sequence(config, seq)
+    init_scan, chunks, scans, evicts, updates, _ = replay.pack_sequence(
+        config, seq
+    )
     init_step = odo.make_init_step(config)
     replay_step = replay.make_replay_step(config)
 
@@ -89,7 +89,7 @@ def main() -> None:
     # warmup (includes compile); sync via scalar fetch — async acks lie
     state, voxmap, prev_R, prev_t, _, ts_w, _ = replay_step(
         state, voxmap, prev_R, prev_t,
-        sl(chunks, 0, n), sl(scans, 0, n), evicts[:n],
+        sl(chunks, 0, n), sl(scans, 0, n), evicts[:n], updates[:n],
     )
     float(np.asarray(ts_w[-1, 0]))
 
@@ -97,7 +97,8 @@ def main() -> None:
     t0 = time.perf_counter()
     state, voxmap, prev_R, prev_t, _, ts_b, diags = replay_step(
         state, voxmap, prev_R, prev_t,
-        sl(chunks, n, 2 * n), sl(scans, n, 2 * n), evicts[n : 2 * n],
+        sl(chunks, n, 2 * n), sl(scans, n, 2 * n),
+        evicts[n : 2 * n], updates[n : 2 * n],
     )
     float(np.asarray(ts_b[-1, 0]))  # device sync
     elapsed = time.perf_counter() - t0

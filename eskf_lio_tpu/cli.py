@@ -49,12 +49,61 @@ def main(argv: list[str] | None = None) -> int:
         "--devices", type=int, default=1,
         help="shard the map over this many devices (streaming mode)",
     )
+    ap.add_argument(
+        "--coordinator", default=None, metavar="HOST:PORT",
+        help="multi-host: jax.distributed coordinator address (also via "
+        "JAX_COORDINATOR_ADDRESS); every process runs this same command",
+    )
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--cloud-out", default=None)
+    ap.add_argument(
+        "--dense-cloud", type=int, default=None, metavar="K",
+        help="export up to K sampled points per voxel instead of one mean "
+        "point (parity with the reference's dense PCD dump, "
+        "LocalMap.cpp:156-167)",
+    )
     ap.add_argument("--traj-out", default=None)
     ap.add_argument("--viz", default=None, help="render a PNG of the result")
+    ap.add_argument(
+        "--viz-live", default=None, metavar="PNG",
+        help="re-render a live map+trajectory PNG during the run "
+        "(the reference's per-loop visualizeLocalMap role)",
+    )
+    ap.add_argument(
+        "--viz-every", type=int, default=20,
+        help="live-render period in scans (with --viz-live)",
+    )
     ap.add_argument("--checkpoint-out", default=None)
     ap.add_argument("--resume-from", default=None)
     args = ap.parse_args(argv)
+
+    # multi-host: wire the process group BEFORE any backend use
+    from eskf_lio_tpu.parallel import distributed as dist
+
+    n_procs, proc_id = dist.initialize(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    if n_procs > 1:
+        print(f"distributed: process {proc_id}/{n_procs}")
+
+    # persistent XLA compilation cache: first compile of a replay batch is
+    # tens of minutes on TPU; reruns should pay zero
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "ESKF_LIO_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from eskf_lio_tpu.config import Config, ImuConfig, load_config
     from eskf_lio_tpu.io import dataset, export
@@ -87,6 +136,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("one of --input / --synthetic is required")
 
+    viewer = None
+    if args.viz_live:
+        if args.replay:
+            ap.error("--viz-live needs a scan-at-a-time mode (not --replay: "
+                     "whole batches run in one device dispatch)")
+        from eskf_lio_tpu.viz.live import LiveViewer
+
+        viewer = LiveViewer(args.viz_live, every=args.viz_every)
+
     t0 = time.perf_counter()
     if args.replay:
         from eskf_lio_tpu.pipeline import replay as rp
@@ -117,7 +175,10 @@ def main(argv: list[str] | None = None) -> int:
             from eskf_lio_tpu.utils import checkpoint
 
             checkpoint.load_checkpoint(args.resume_from, odo)
-        summary = runner.run(merged_stream(seq), max_scans=args.max_scans)
+        summary = runner.run(
+            merged_stream(seq), max_scans=args.max_scans,
+            on_scan=viewer.on_scan if viewer else None,
+        )
         print(
             f"step average elapsed time = {summary['avg_step_ms']:.2f} ms"
         )
@@ -141,7 +202,10 @@ def main(argv: list[str] | None = None) -> int:
             from eskf_lio_tpu.utils import checkpoint
 
             checkpoint.load_checkpoint(args.resume_from, odo)
-        summary = odo.run(seq, max_scans=args.max_scans)
+        summary = odo.run(
+            seq, max_scans=args.max_scans,
+            on_scan=viewer.on_scan if viewer else None,
+        )
         # the reference's exit report (`Odometry.cpp:99-109`)
         print(
             f"step average elapsed time = {summary['avg_step_ms']:.2f} ms"
@@ -154,10 +218,25 @@ def main(argv: list[str] | None = None) -> int:
 
             checkpoint.save_checkpoint(args.checkpoint_out, odo)
 
+    if viewer is not None:
+        viewer.close()
+        print(f"live view rendered {viewer.renders}x to {args.viz_live}")
+
     if args.cloud_out:
-        pts, _ = export.map_to_cloud(odo.voxmap)
-        export.write_pcd(args.cloud_out, pts)
-        print(f"saved {args.cloud_out}")
+        # the map extraction below is a collective on multi-host (sharded
+        # arrays allgather) — run it on every process, write on process 0
+        if args.dense_cloud:
+            pts = export.map_to_dense_cloud(
+                odo.voxmap, samples_per_voxel=args.dense_cloud
+            )
+        else:
+            pts, _ = export.map_to_cloud(odo.voxmap)
+        if proc_id == 0:
+            export.write_pcd(args.cloud_out, pts)
+            print(f"saved {args.cloud_out}")
+
+    if n_procs > 1 and proc_id != 0:
+        return 0  # only process 0 writes the remaining artifacts
     if args.traj_out:
         export.write_trajectory_json(
             args.traj_out, odo.trajectory_t, odo.trajectory_R,

@@ -110,12 +110,25 @@ class Config:
     map_delta_log2: int | None = None  # LSM delta-tier slots (default C/8).
     # Smaller delta = cheaper per-scan merge (O(N+D) sorts), more frequent
     # amortised compactions; 2**14 is the sweet spot at C=2**19.
-    max_probe: int = 16  # linear-probe length bound
-    scan_hash_capacity_log2: int = 17  # transient per-scan voxel table
     dtype: str = "float32"
 
     # --- parallelism -----------------------------------------------------
     mesh_axis_name: str = "map"
+    # Per-device point-slice capacity factor for the compute-sharded step:
+    # each device compacts the points it owns into a static
+    # ceil(max_scan_points / n_devices * shard_slack) slice (rounded up to a
+    # multiple of 128) before the GN einsums and the map insert, so
+    # per-device FLOPs scale as N/D.  Candidates past the slice capacity are
+    # dropped and counted in the step diagnostics.
+    shard_slack: float = 2.0
+    # GN ownership halo (metres): a device claims a point for registration
+    # if it owns ANY voxel within +-halo of the point's guess-pose position.
+    # The shard-local lookup is the exact ownership filter (off-shard keys
+    # never hit), so duplication across devices cannot double-count; the
+    # halo only guarantees that a point still finds its owner after the
+    # pose moves up to `halo` metres away from the guess during GN.
+    # Must be < map_voxel_size; costs ~(1 + 6*halo/voxel_size)x slice load.
+    shard_halo: float = 0.02
 
     @property
     def hash_capacity(self) -> int:
@@ -124,10 +137,6 @@ class Config:
     @property
     def map_delta_capacity(self) -> int | None:
         return None if self.map_delta_log2 is None else 1 << self.map_delta_log2
-
-    @property
-    def scan_hash_capacity(self) -> int:
-        return 1 << self.scan_hash_capacity_log2
 
 
 def _get(d: dict, path: list[str], default: Any = None) -> Any:
@@ -210,10 +219,10 @@ def load_config(path: str) -> Config:
         "max_scan_points",
         "max_imu_per_scan",
         "hash_capacity_log2",
-        "max_probe",
-        "scan_hash_capacity_log2",
         "dtype",
         "mesh_axis_name",
+        "shard_slack",
+        "shard_halo",
     ):
         if key in tpu:
             kwargs[key] = tpu[key]

@@ -259,7 +259,6 @@ def lookup(
     *,
     voxel_size: float,
     max_points_per_voxel: int = 1000,
-    max_probe: int = 0,  # kept for API compatibility; unused
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-point single-voxel correspondence lookup
     (ref `correspondenceMatching`, `LocalMap.cpp:78-109`: each point reads
@@ -268,7 +267,6 @@ def lookup(
     Returns (mean [N,3], cov_packed [N,6], hit [N] bool), combining the
     main entry with any pending delta sums for the same voxel.
     """
-    del max_probe
     keys = vx.voxel_key(points, voxel_size)
     packed, in_range = sm.pack_keys(keys, vmap.origin)
     return lookup_packed(
@@ -419,7 +417,6 @@ def insert(
     *,
     voxel_size: float,
     max_points_per_voxel: int,
-    max_probe: int = 0,  # kept for API compatibility; unused
 ) -> tuple[VoxelMap, jnp.ndarray]:
     """Insert a batch of world-frame points + packed covariances.
 
@@ -427,7 +424,6 @@ def insert(
     segment-reduce the batch per voxel, merge the raw sums into the DELTA
     tier (O(N+D) — map-size independent), compacting into MAIN only when
     the delta overflows.  Returns (new_map, num_dropped)."""
-    del max_probe
     dtype = points.dtype
     n = points.shape[0]
     d_cap = vmap.delta_capacity
@@ -541,14 +537,12 @@ def evict_beyond(
     voxel_size: float,
     distance_threshold: float,
     max_points_per_voxel: int = 1000,
-    max_probe: int = 0,  # kept for API compatibility; unused
 ) -> tuple[VoxelMap, jnp.ndarray]:
     """Drop voxels farther than `distance_threshold` from `center`
     (ref `needsPointRemoval`, `LocalMap.cpp:149-154`), after folding the
     delta in; re-centres the packing origin on `center`.
 
     Returns (new_map, num_removed)."""
-    del max_probe
     vmap, _ = compact(vmap, max_points_per_voxel=max_points_per_voxel)
     live = vmap.live()
     keys = sm.unpack_keys(vmap.packed, vmap.origin)

@@ -242,11 +242,25 @@ def downsample_and_covariances(
     seg_m = jax.ops.segment_sum(raw, seg_id, num_segments=n)  # [N, 10]
     table_m = seg_m[seg_id]  # broadcast back (valid at heads)
 
-    # compact segment heads to the front; ascending packed order preserved,
-    # and (stable sort) each head is the FIRST point of its voxel in scan
-    # order — exactly `CloudPreprocessor.cpp:87-99` semantics
-    pos = jnp.arange(n, dtype=jnp.int32)
-    hkey = jnp.where(head, pos, sm.INT32_MAX)
+    # compact segment heads to the front; each head is (stable sort) the
+    # FIRST point of its voxel in scan order — exactly
+    # `CloudPreprocessor.cpp:87-99` semantics
+    kcap = min(n, k_out)
+    if k_out < n:
+        # overflow possible: order heads by a multiplicative hash of the
+        # voxel key, so a scan with more distinct voxels than the budget
+        # drops a pseudo-random spatial subset rather than everything past
+        # an ascending-key corner of the scan (the worst truncation for
+        # registration geometry).  Head keys are unique, so the hash order
+        # is deterministic.
+        h = (packed_s * jnp.int32(-1640531527)) & jnp.int32(0x7FFFFFFF)
+        h = jnp.where(h == sm.INT32_MAX, 0, h)
+        hkey = jnp.where(head, h, sm.INT32_MAX)
+    else:
+        # no voxel can overflow a budget >= n: keep ascending packed order
+        # and skip the restore re-sort below
+        pos = jnp.arange(n, dtype=jnp.int32)
+        hkey = jnp.where(head, pos, sm.INT32_MAX)
     sorted_cols = jax.lax.sort(
         (hkey, packed_s, qx_s, qy_s, qz_s)
         + tuple(table_m[:, j] for j in range(10)),
@@ -254,11 +268,8 @@ def downsample_and_covariances(
         is_stable=True,
     )
     # slice the voxel table to the output budget before the neighbourhood
-    # passes — kept rows are the first k voxels in ascending packed order.
-    # (When a scan has more distinct voxels than `max_scan_points`, voxels
-    # past the budget neither survive downsampling nor contribute to their
-    # neighbours' moments — the documented overflow path.)
-    kcap = min(n, k_out)
+    # passes.  (Dropped voxels neither survive downsampling nor contribute
+    # to their neighbours' moments — the documented overflow path.)
     h_sorted = sorted_cols[0][:kcap]
     t_live = h_sorted != sm.INT32_MAX
     t_packed = jnp.where(t_live, sorted_cols[1][:kcap], sm.INT32_MAX)
@@ -268,6 +279,19 @@ def downsample_and_covariances(
         jnp.stack([c[:kcap] for c in sorted_cols[5:15]], axis=1),
         0.0,
     )
+    if k_out < n:
+        # restore ascending packed order (the separable passes and the
+        # map-merge path both require it)
+        cols = jax.lax.sort(
+            (t_packed,)
+            + tuple(t_q[:, j] for j in range(3))
+            + tuple(t_m[:, j] for j in range(10)),
+            num_keys=1,
+        )
+        t_packed = cols[0]
+        t_live = t_packed != sm.INT32_MAX
+        t_q = jnp.stack(cols[1:4], axis=1)
+        t_m = jnp.stack(cols[4:14], axis=1)
 
     # ---- separable 3x3x3 neighbourhood aggregation ------------------------
     # z-pass in natural (x|y|z) order, then re-sort so y / x become the

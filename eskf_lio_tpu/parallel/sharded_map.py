@@ -1,4 +1,4 @@
-"""Sharded voxel map + shard_map'd odometry step.
+"""Sharded voxel map + compute-sharded shard_map'd odometry step.
 
 This is the framework's distributed backend — the component the reference
 does not have (its only parallelism is OpenMP fork/join and a two-thread
@@ -9,24 +9,34 @@ producer/consumer split; see SURVEY.md §2b).  Design:
   each).  A voxel key belongs to exactly ONE device —
   `ops.voxel.owner_hash(key, D)` — and each shard keeps its own sorted
   order, so lookups/merges never cross shard boundaries.
-* Scan + filter state are replicated (tiny).  Per GN iteration each device
-  looks up only the correspondences it owns, accumulates partial
-  JᵀWJ ∈ ℝ⁶ˣ⁶ / JᵀWr ∈ ℝ⁶, and a `psum` over ICI produces the global
-  normal equations — per-point work stays local; 42 floats cross the wire
-  per iteration (the Schur-style trick of BASELINE.json's north star).
-* Insert/evict are owner-masked: each device inserts only its keys into its
-  local block.  No communication at all on the map-maintenance path.
-* Everything (predict → preprocess → GN loop → update → insert/evict) runs
-  inside ONE `shard_map` region under jit, so XLA overlaps the replicated
-  compute with collectives.
+* **Compute sharding by owner compaction**: before the GN loop each device
+  compacts the points whose (guess-pose) voxels it owns into a static
+  `ceil(N/D · slack)` slice — ONE variadic sort — and runs lookup,
+  covariance rotation, and the JᵀWJ/JᵀWr einsums on the slice only, so
+  per-device FLOPs scale as N/D.  A `psum` over ICI produces the global
+  6×6/6 normal equations per iteration — per-point work stays local and
+  42 floats cross the wire (the Schur-style trick of BASELINE.json's
+  north star).  Correctness: the shard-local lookup is the exact
+  ownership filter (an off-shard voxel key can never hit, and the skey
+  packing is bijective), so over-claiming near voxel boundaries — the
+  ±`shard_halo` box — only costs slice slots, never double counting.
+* Insert is owner-compacted the same way (ownership exact — the post-update
+  pose is fixed), so the per-device insert merge sorts over S + Δ rows,
+  not N + Δ.  Eviction is purely local per shard (O(C/D)).
+* Scan + filter state are replicated (tiny), as is the preprocess stage
+  (deskew/downsample); see tools/profile_stages.py for per-stage numbers.
+* Everything (predict → preprocess → compact → GN loop → update →
+  insert/evict) runs inside ONE `shard_map` region under jit, so XLA
+  overlaps the replicated compute with collectives.
 
-Multi-host: build the mesh over `jax.devices()` after
-`jax.distributed.initialize()`; the same code runs with DCN-crossing psums.
+Multi-host: `eskf_lio_tpu.parallel.distributed` wires
+`jax.distributed.initialize`; build the mesh over `jax.devices()` and the
+same code runs with DCN-crossing psums.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import math
 
 import numpy as np
 import jax
@@ -38,9 +48,84 @@ from eskf_lio_tpu.map import voxel_map as vm
 from eskf_lio_tpu.models import eskf, registration
 from eskf_lio_tpu.ops import preprocess, voxel as vx
 from eskf_lio_tpu.pipeline import odometry as odo
-from eskf_lio_tpu.types import FilterState, ImuChunk, Pose, Scan
+from eskf_lio_tpu.types import FilterState, ImuChunk, Pose, ProcessedScan, Scan
 
-from jax.experimental.shard_map import shard_map
+def shard_map(body, mesh, in_specs, out_specs, check_rep=False):
+    """Version shim: jax>=0.8 moved shard_map to jax.shard_map and renamed
+    check_rep -> check_vma."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=check_rep,
+    )
+
+
+def slice_capacity(n_points: int, n_devices: int, slack: float) -> int:
+    """Static per-device owner-slice capacity: ceil(N/D·slack) rounded up to
+    a lane-aligned multiple of 128, capped at N (a 1-device mesh degrades to
+    the unsharded shapes)."""
+    s = int(math.ceil(n_points / n_devices * slack))
+    s = ((s + 127) // 128) * 128
+    return min(s, n_points)
+
+
+def _owner_candidates(
+    pts: jnp.ndarray, halo: float, voxel_size: float, n_dev, my
+) -> jnp.ndarray:
+    """True where this device owns ANY voxel within the ±halo box around
+    the point.  halo=0 reduces to exact single-voxel ownership."""
+    if halo == 0.0:
+        keys = vx.voxel_key(pts, voxel_size)
+        return vx.owner_hash(keys, n_dev) == my
+    cand = jnp.zeros(pts.shape[:-1], bool)
+    for sx in (-1.0, 1.0):
+        for sy in (-1.0, 1.0):
+            for sz in (-1.0, 1.0):
+                off = jnp.asarray([sx, sy, sz], pts.dtype) * halo
+                keys = vx.voxel_key(pts + off, voxel_size)
+                cand = jnp.logical_or(cand, vx.owner_hash(keys, n_dev) == my)
+    return cand
+
+
+def _compact_slice(cand: jnp.ndarray, arrays, s_cap: int):
+    """Stable-sort rows so cand=True rows lead, then take the first `s_cap`.
+
+    arrays: sequence of [N] or [N, k] arrays riding along one variadic sort
+    (the same head-compaction trick as `ops.preprocess`).  Returns
+    (sliced_arrays, valid [s_cap] bool, overflow int32) where overflow
+    counts candidates that did not fit the slice."""
+    key = jnp.where(cand, 0, 1).astype(jnp.int32)
+    cols = []
+    widths = []
+    for a in arrays:
+        if a.ndim == 1:
+            cols.append(a)
+            widths.append(0)
+        else:
+            cols.extend(a[:, j] for j in range(a.shape[1]))
+            widths.append(a.shape[1])
+    out = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=True)
+    valid = out[0][:s_cap] == 0
+    res = []
+    i = 1
+    for a, w in zip(arrays, widths):
+        if w == 0:
+            res.append(out[i][:s_cap])
+            i += 1
+        else:
+            res.append(
+                jnp.stack([out[i + j][:s_cap] for j in range(w)], axis=1)
+            )
+            i += w
+    n_cand = jnp.sum(cand.astype(jnp.int32))
+    overflow = jnp.maximum(n_cand - s_cap, 0)
+    return res, valid, overflow
 
 
 def make_sharded_scan_step(config: Config, mesh: Mesh):
@@ -48,7 +133,8 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
 
     Signature matches `pipeline.odometry.make_scan_step`'s step, but the
     VoxelMap arrays are sharded along their slot axis over the ``map`` mesh
-    axis (each device holds its own sub-table block).
+    axis (each device holds its own sub-table block) and the per-device GN
+    and insert work runs on owner-compacted N/D-scaled slices.
     """
     axis = config.mesh_axis_name
     n_dev = mesh.shape[axis]
@@ -56,6 +142,11 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
     T_il = odo.lidar_extrinsics(config)
     sub_capacity = config.hash_capacity // n_dev
     assert sub_capacity * n_dev == config.hash_capacity
+    assert config.shard_halo < config.map_voxel_size, (
+        "shard_halo must stay below one voxel so the ±halo box spans at "
+        "most the 8 corner voxels"
+    )
+    s_cap = slice_capacity(config.max_scan_points, n_dev, config.shard_slack)
 
     repl = P()
     shard = P(axis)
@@ -88,17 +179,35 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
         )
         processed = preprocess.preprocess(scan, hist, T_il, config)
 
-        # 4. sharded VGICP: local lookup on owned keys + psum'd normal eqs
+        # 4. owner-compact this device's GN work to a static N/D·slack slice
+        guess = eskf.pose_of(base)
+        pts_guess_w = guess.apply(processed.points)
+        cand = jnp.logical_and(
+            _owner_candidates(
+                pts_guess_w, config.shard_halo, config.map_voxel_size,
+                n_dev, my,
+            ),
+            processed.valid,
+        )
+        (s_pts, s_covp), s_valid, gn_overflow = _compact_slice(
+            cand, (processed.points, vm.pack_cov(processed.covs)), s_cap
+        )
+        sliced = ProcessedScan(
+            points=s_pts, covs=vm.unpack_cov(s_covp), valid=s_valid
+        )
+
+        # 5. sharded VGICP: per-device slice lookup + psum'd normal eqs.
+        # The local shard only stores owned voxels, so `hit` is the exact
+        # ownership filter — a point over-claimed by two devices hits on
+        # exactly one of them.
         def lookup_fn(pts):
-            keys = vx.voxel_key(pts, config.map_voxel_size)
-            owned = vx.owner_hash(keys, n_dev) == my
             mu, cov_packed, hit = vm.lookup(
                 voxmap,
                 pts,
                 voxel_size=config.map_voxel_size,
                 max_points_per_voxel=config.max_points_per_voxel,
             )
-            return mu, vm.unpack_cov(cov_packed), jnp.logical_and(hit, owned)
+            return mu, vm.unpack_cov(cov_packed), hit
 
         def reduce_fn(JTJ, JTr, num_corr):
             return (
@@ -107,17 +216,17 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
                 jax.lax.psum(num_corr, axis),
             )
 
-        guess = eskf.pose_of(base)
         res = registration.align(
-            processed, None, guess, config,
+            sliced, None, guess, config,
             lookup_fn=lookup_fn, reduce_fn=reduce_fn,
         )
 
-        # 5. replicated measurement update
+        # 6. replicated measurement update
         corrected = eskf.pose_update(base, res.pose, noise)
         T = eskf.pose_of(corrected)
 
-        # 6. owner-masked insert into the local shard
+        # 7. owner-compacted insert into the local shard (ownership exact:
+        # the post-update pose is fixed)
         moved_R = jnp.einsum("ji,jk->ik", prev_R, T.R, precision="highest")
         moved_t = jnp.einsum(
             "ji,j->i", prev_R, T.t - prev_t, precision="highest"
@@ -130,24 +239,28 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
         )
         pts_world = T.apply(processed.points)
         keys_w = vx.voxel_key(pts_world, config.map_voxel_size)
-        owned = vx.owner_hash(keys_w, n_dev) == my
-        insert_mask = jnp.logical_and(
-            jnp.logical_and(processed.valid, should_insert), owned
+        ins_cand = jnp.logical_and(
+            processed.valid, vx.owner_hash(keys_w, n_dev) == my
         )
+        (i_pts_w, i_covp), i_valid, ins_overflow = _compact_slice(
+            ins_cand, (pts_world, vm.pack_cov(processed.covs)), s_cap
+        )
+        # rotate only the sliced covariances into world frame: R Σ Rᵀ
         covs_w = jnp.einsum(
-            "ab,nbc,dc->nad", T.R, processed.covs, T.R, precision="highest"
+            "ab,nbc,dc->nad", T.R, vm.unpack_cov(i_covp), T.R,
+            precision="highest",
         )
+        insert_mask = jnp.logical_and(i_valid, should_insert)
         voxmap, dropped = vm.insert(
             voxmap,
-            pts_world,
+            i_pts_w,
             vm.pack_cov(covs_w),
             insert_mask,
             voxel_size=config.map_voxel_size,
             max_points_per_voxel=config.max_points_per_voxel,
-            max_probe=config.max_probe,
         )
 
-        # 7. eviction: purely local per shard
+        # 8. eviction: purely local per shard
         def evict(m):
             return vm.evict_beyond(
                 m,
@@ -177,6 +290,12 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
             "pose_finite": jnp.logical_and(
                 jnp.all(jnp.isfinite(T.t)), jnp.all(jnp.isfinite(T.R))
             ),
+            # slice-capacity overflow counters (0 in healthy operation;
+            # raise shard_slack if these fire)
+            "gn_slice_overflow": jax.lax.psum(gn_overflow, axis),
+            "insert_slice_overflow": jax.lax.psum(
+                ins_overflow * should_insert.astype(jnp.int32), axis
+            ),
         }
         return corrected, voxmap, T.R, T.t, diag
 
@@ -189,6 +308,8 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
         "removed_voxels": repl,
         "num_scan_points": repl,
         "pose_finite": repl,
+        "gn_slice_overflow": repl,
+        "insert_slice_overflow": repl,
     }
 
     step = shard_map(
@@ -204,10 +325,11 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
 
 
 def make_sharded_init_step(config: Config, mesh: Mesh):
-    """First-scan path, owner-masked per shard."""
+    """First-scan path, owner-compacted per shard."""
     axis = config.mesh_axis_name
     n_dev = mesh.shape[axis]
     T_il = odo.lidar_extrinsics(config)
+    s_cap = slice_capacity(config.max_scan_points, n_dev, config.shard_slack)
     repl = P()
     shard = P(axis)
     map_specs = vm.VoxelMap(
@@ -222,17 +344,21 @@ def make_sharded_init_step(config: Config, mesh: Mesh):
             pts_imu, scan.valid, config
         )
         keys = vx.voxel_key(processed.points, config.map_voxel_size)
-        owned = vx.owner_hash(keys, n_dev) == my
+        cand = jnp.logical_and(
+            processed.valid, vx.owner_hash(keys, n_dev) == my
+        )
+        (i_pts, i_covp), i_valid, overflow = _compact_slice(
+            cand, (processed.points, vm.pack_cov(processed.covs)), s_cap
+        )
         voxmap, dropped = vm.insert(
             voxmap,
-            processed.points,
-            vm.pack_cov(processed.covs),
-            jnp.logical_and(processed.valid, owned),
+            i_pts,
+            i_covp,
+            i_valid,
             voxel_size=config.map_voxel_size,
             max_points_per_voxel=config.max_points_per_voxel,
-            max_probe=config.max_probe,
         )
-        return voxmap, jax.lax.psum(dropped, axis)
+        return voxmap, jax.lax.psum(dropped + overflow, axis)
 
     step = shard_map(
         body,
@@ -246,7 +372,13 @@ def make_sharded_init_step(config: Config, mesh: Mesh):
 
 class ShardedOdometry(odo.Odometry):
     """Drop-in multi-device variant of the host driver: same interface, map
-    sharded across the mesh."""
+    sharded across the mesh.
+
+    Multi-host: after `parallel.distributed.initialize()` the default
+    device list spans every process; the same step runs with DCN-crossing
+    psums.  Each process feeds the identical sensor stream (lockstep
+    ingestion); per-call inputs are lifted to fully-replicated global
+    arrays, and replicated outputs (poses, diags) convert to numpy locally."""
 
     def __init__(
         self,
@@ -262,17 +394,54 @@ class ShardedOdometry(odo.Odometry):
         # override the compiled steps with sharded versions
         self.scan_step = make_sharded_scan_step(config, self.mesh)
         self.init_step = make_sharded_init_step(config, self.mesh)
-        # place the map with the sharded layout (origin replicated)
-        shard = NamedSharding(self.mesh, P(config.mesh_axis_name))
-        repl = NamedSharding(self.mesh, P())
-        self.voxmap = vm.VoxelMap(
-            **{
-                f: jax.device_put(
-                    getattr(self.voxmap, f), repl if f == "origin" else shard
+        if jax.process_count() == 1:
+            # place the map with the sharded layout (origin replicated)
+            shard = NamedSharding(self.mesh, P(config.mesh_axis_name))
+            repl = NamedSharding(self.mesh, P())
+            self.voxmap = vm.VoxelMap(
+                **{
+                    f: jax.device_put(
+                        getattr(self.voxmap, f),
+                        repl if f == "origin" else shard,
+                    )
+                    for f in vm.VoxelMap._fields
+                }
+            )
+        else:
+            from eskf_lio_tpu.parallel import distributed as dist
+
+            # global placement of the initial map across processes
+            self.voxmap = vm.VoxelMap(
+                **{
+                    f: (
+                        dist.replicate_to_mesh(
+                            np.asarray(getattr(self.voxmap, f)), self.mesh
+                        )
+                        if f == "origin"
+                        else dist.shard_to_mesh(
+                            np.asarray(getattr(self.voxmap, f)),
+                            self.mesh,
+                            config.mesh_axis_name,
+                        )
+                    )
+                    for f in vm.VoxelMap._fields
+                }
+            )
+            raw_scan_step = self.scan_step
+            raw_init_step = self.init_step
+
+            def scan_step(*args):
+                return raw_scan_step(
+                    *dist.replicate_to_mesh(args, self.mesh)
                 )
-                for f in vm.VoxelMap._fields
-            }
-        )
+
+            def init_step(voxmap, scan):
+                return raw_init_step(
+                    voxmap, dist.replicate_to_mesh(scan, self.mesh)
+                )
+
+            self.scan_step = scan_step
+            self.init_step = init_step
 
 
 class ShardedOdometryRunner:

@@ -119,8 +119,7 @@ def make_step_core(config: Config) -> Callable:
             ),
             insert_mask,
             voxel_size=config.map_voxel_size,
-            max_points_per_voxel=config.max_points_per_voxel,
-            max_probe=config.max_probe,
+            max_points_per_voxel=config.max_points_per_voxel
         )
 
         # 7. periodic distant-voxel eviction (ref `LocalMap.cpp:60-72`)
@@ -199,8 +198,7 @@ def make_init_step(config: Config) -> Callable:
             vm.pack_cov(processed.covs),
             processed.valid,
             voxel_size=config.map_voxel_size,
-            max_points_per_voxel=config.max_points_per_voxel,
-            max_probe=config.max_probe,
+            max_points_per_voxel=config.max_points_per_voxel
         )
         return voxmap, dropped
 
@@ -404,9 +402,16 @@ class Odometry:
         self._record(t_end, pose_R, pose_t, diag_host)
         return diag_host
 
-    def run(self, seq: Sequence, max_scans: int | None = None) -> dict:
+    def run(
+        self,
+        seq: Sequence,
+        max_scans: int | None = None,
+        on_scan=None,
+    ) -> dict:
         """Run a full sequence (merged time-ordered replay of both streams).
-        Returns summary stats."""
+        `on_scan(self)` fires after each processed scan (live viz hook,
+        the role of the reference's per-loop `visualizeLocalMap`,
+        `LocalMap.cpp:120-130`).  Returns summary stats."""
         imu_iter = iter(seq.imu)
         next_imu = next(imu_iter, None)
         n_done = 0
@@ -422,6 +427,8 @@ class Odometry:
                 # stream exhausted without coverage: stop
                 break
             n_done += 1
+            if on_scan is not None:
+                on_scan(self)
         return self.summary()
 
     def _record(self, t, R, p, diag) -> None:

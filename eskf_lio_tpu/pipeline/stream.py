@@ -123,7 +123,12 @@ class StreamingRunner:
 
     # -- consumer side ------------------------------------------------------
 
-    def run(self, source: Iterable, max_scans: int | None = None) -> dict:
+    def run(
+        self,
+        source: Iterable,
+        max_scans: int | None = None,
+        on_scan=None,
+    ) -> dict:
         t = threading.Thread(
             target=self._ingest, args=(source,), daemon=True
         )
@@ -153,6 +158,8 @@ class StreamingRunner:
                 continue
             pending = None
             n_done += 1
+            if on_scan is not None:
+                on_scan(self.odo)
         t.join(timeout=5.0)
         if self._ingest_error is not None:
             raise self._ingest_error

@@ -25,18 +25,31 @@ def render(
     frame_stride: int = 50,
     max_points: int = 200_000,
 ) -> None:
+    from eskf_lio_tpu.io.export import read_pcd, read_trajectory_json
+
+    pts = read_pcd(cloud_path)
+    _, Rs, ps = read_trajectory_json(trajectory_path)
+    render_arrays(pts, Rs, ps, out_path, frame_stride, max_points)
+
+
+def render_arrays(
+    pts: np.ndarray,
+    Rs,
+    ps,
+    out_path: str,
+    frame_stride: int = 50,
+    max_points: int = 200_000,
+) -> None:
+    """Render a (cloud, trajectory) snapshot directly from arrays — the
+    in-memory path used by the live viewer (`viz.live`)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from eskf_lio_tpu.io.export import read_pcd, read_trajectory_json
-
-    pts = read_pcd(cloud_path)
     if len(pts) > max_points:
         sel = np.random.default_rng(0).choice(len(pts), max_points, replace=False)
         pts = pts[sel]
-    _, Rs, ps = read_trajectory_json(trajectory_path)
     ps = np.asarray(ps)
 
     fig = plt.figure(figsize=(14, 7))

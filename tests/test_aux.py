@@ -22,8 +22,6 @@ CFG = Config(
     max_scan_points=4096,
     max_imu_per_scan=48,
     hash_capacity_log2=15,
-    scan_hash_capacity_log2=13,
-    max_probe=32,
 )
 
 
@@ -115,3 +113,52 @@ def test_stopwatch():
     assert len(sw.laps) == 1
     assert sw.avg > 0
     assert "avg" in sw.summary()
+
+
+def test_dense_cloud_export():
+    """Export-parity option: up to K sampled points per voxel, concentrated
+    around the voxel statistics (ref dense dump, `LocalMap.cpp:156-167`)."""
+    from eskf_lio_tpu.map import voxel_map as vm
+
+    rng = np.random.default_rng(3)
+    # 64 voxel sites, 5 points each -> per-voxel counts of 5
+    sites = rng.uniform(-5, 5, size=(64, 3)).astype(np.float32)
+    pts = np.repeat(sites, 5, axis=0) + rng.normal(
+        scale=0.02, size=(320, 3)
+    ).astype(np.float32)
+    covs = np.tile(np.eye(3, dtype=np.float32) * 1e-4, (320, 1, 1))
+    m = vm.VoxelMap.create(1 << 12)
+    m, _ = vm.insert(
+        m, jnp.asarray(pts), vm.pack_cov(jnp.asarray(covs)),
+        jnp.ones(320, bool), voxel_size=CFG.map_voxel_size,
+        max_points_per_voxel=1000,
+    )
+    sparse, counts = export.map_to_cloud(m)
+    assert counts.max() > 1
+    dense = export.map_to_dense_cloud(m, samples_per_voxel=3)
+    expected = int(np.minimum(counts, 3).sum())
+    assert len(dense) == expected
+    assert len(dense) > len(sparse)
+    # determinism
+    dense2 = export.map_to_dense_cloud(m, samples_per_voxel=3)
+    np.testing.assert_array_equal(dense, dense2)
+    # samples stay near their voxels: nearest sparse mean within ~2 voxels
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(sparse).query(dense)
+    assert np.percentile(d, 99) < 2 * CFG.map_voxel_size
+
+
+def test_live_viewer(tmp_path, short_seq):
+    """--viz-live role (ref per-loop `visualizeLocalMap`,
+    `LocalMap.cpp:120-130`): PNG re-rendered during the run without
+    stalling the drivers."""
+    from eskf_lio_tpu.viz.live import LiveViewer
+
+    out = str(tmp_path / "live.png")
+    viewer = LiveViewer(out, every=3)
+    odo = Odometry(CFG)
+    odo.run(short_seq, max_scans=7, on_scan=viewer.on_scan)
+    viewer.close()
+    assert viewer.renders >= 1
+    assert os.path.getsize(out) > 10_000

@@ -68,7 +68,6 @@ def test_divergence_flag():
         max_scan_points=1024,
         max_imu_per_scan=48,
         hash_capacity_log2=14,
-        scan_hash_capacity_log2=12,
     )
     seq = dataset.make_synthetic_sequence(
         duration=2.2, points_per_scan=1500, seed=2
@@ -108,3 +107,43 @@ def test_cli_synthetic_replay(tmp_path):
     assert "scans/s" in proc.stdout
     assert os.path.getsize(out_pcd) > 1000
     assert os.path.getsize(out_png) > 10000
+
+
+def test_cli_stream_vizlive_densecloud(tmp_path):
+    """CLI smoke test for the streaming mode with --viz-live (per-loop
+    visualization role, `LocalMap.cpp:120-130`) and --dense-cloud export."""
+    cfg = tmp_path / "small.yaml"
+    cfg.write_text(
+        "imu:\n  frequency: 400.0\n"
+        "local_map:\n  map_resolution: 0.3\n"
+        "tpu:\n"
+        "  max_raw_points: 8192\n"
+        "  max_scan_points: 4096\n"
+        "  max_imu_per_scan: 48\n"
+        "  hash_capacity_log2: 15\n"
+    )
+    out_pcd = str(tmp_path / "m.pcd")
+    out_traj = str(tmp_path / "t.json")
+    live_png = str(tmp_path / "live.png")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "eskf_lio_tpu.cli",
+            "--config", str(cfg),
+            "--synthetic", "1.5", "--points-per-scan", "3000",
+            "--stream", "--viz-live", live_png, "--viz-every", "4",
+            "--dense-cloud", "4",
+            "--cloud-out", out_pcd, "--traj-out", out_traj,
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "live view rendered" in proc.stdout
+    assert os.path.getsize(live_png) > 10000
+    assert os.path.getsize(out_pcd) > 1000

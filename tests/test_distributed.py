@@ -1,0 +1,81 @@
+"""Multi-host execution path (SURVEY.md §5.8, VERDICT r2 missing #2):
+two localhost processes under `jax.distributed`, 2 virtual CPU devices
+each, one sharded odometry run over the global 4-device mesh — must match
+the single-process 4-device mesh trajectory."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+
+def test_two_process_sharded_run():
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = [os.path.join(REPO, f".dist_out_{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, WORKER,
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2",
+                "--process-id", str(i),
+                "--out", outs[i],
+            ],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err[-3000:]
+        results = []
+        for o in outs:
+            with open(o) as f:
+                results.append(json.load(f))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for o in outs:
+            if os.path.exists(o):
+                os.remove(o)
+
+    assert results[0]["global_devices"] == 4
+    assert not results[0]["diverged"]
+    # both processes observe the identical (replicated) trajectory
+    p0 = np.asarray(results[0]["positions"])
+    p1 = np.asarray(results[1]["positions"])
+    np.testing.assert_allclose(p0, p1, atol=1e-6)
+    assert results[0]["map_voxels"] == results[1]["map_voxels"]
+
+    # and it matches a single-process mesh of the same 4 devices
+    from tests._dist_worker import make_seq, worker_config
+    from eskf_lio_tpu.parallel.sharded_map import ShardedOdometry
+
+    ref = ShardedOdometry(worker_config(), n_devices=4)
+    ref.run(make_seq(), max_scans=6)
+    np.testing.assert_allclose(p0, ref.positions, atol=2e-2)

@@ -23,8 +23,6 @@ CFG = Config(
     max_scan_points=8192,
     max_imu_per_scan=48,
     hash_capacity_log2=17,
-    scan_hash_capacity_log2=14,
-    max_probe=32,
 )
 
 

@@ -11,7 +11,7 @@ from eskf_lio_tpu.map import voxel_map as vm
 from eskf_lio_tpu.models import registration as reg
 from eskf_lio_tpu.types import Pose, ProcessedScan
 
-CFG = Config(max_scan_points=4096, max_probe=32)
+CFG = Config(max_scan_points=4096)
 CAP = 1 << 16
 
 
@@ -51,7 +51,6 @@ def build_map(pts, covs):
         jnp.ones(len(pts), bool),
         voxel_size=CFG.map_voxel_size,
         max_points_per_voxel=CFG.max_points_per_voxel,
-        max_probe=CFG.max_probe,
     )
     assert int(dropped) == 0
     return m

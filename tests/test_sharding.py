@@ -21,8 +21,6 @@ CFG = Config(
     max_scan_points=4096,
     max_imu_per_scan=48,
     hash_capacity_log2=16,
-    scan_hash_capacity_log2=13,
-    max_probe=32,
 )
 
 
@@ -82,3 +80,36 @@ def test_sharded_different_device_counts(seq):
     p2 = run(ShardedOdometry(CFG, n_devices=2), seq, n=8)
     p8 = run(ShardedOdometry(CFG, n_devices=8), seq, n=8)
     np.testing.assert_allclose(p2, p8, atol=2e-2)
+
+
+def test_per_device_compute_scales(monkeypatch, seq):
+    """The GN loop must run on an owner-compacted N/D·slack slice, not the
+    full scan — per-device einsum shapes scale with 1/D (VERDICT r2 #1)."""
+    from eskf_lio_tpu.parallel import sharded_map as smod
+    from eskf_lio_tpu.models import registration
+
+    recorded: list[int] = []
+    orig = registration.align
+
+    def spy(scan, voxmap, guess, config, **kw):
+        recorded.append(int(scan.points.shape[0]))
+        return orig(scan, voxmap, guess, config, **kw)
+
+    monkeypatch.setattr(smod.registration, "align", spy)
+    odo = ShardedOdometry(CFG, n_devices=8)
+    odo.run(seq, max_scans=3)
+    s_expected = smod.slice_capacity(CFG.max_scan_points, 8, CFG.shard_slack)
+    assert s_expected * 2 <= CFG.max_scan_points, "slice must shrink the work"
+    assert recorded, "align never traced"
+    assert all(s == s_expected for s in recorded), recorded
+
+
+def test_no_slice_overflow(seq):
+    """With the default slack, owner slices must not overflow on a uniform
+    scan (overflow = silently dropped correspondences/inserts)."""
+    odo = ShardedOdometry(CFG, n_devices=8)
+    odo.run(seq, max_scans=10)
+    gn_of = [int(d["gn_slice_overflow"]) for d in odo.diags]
+    ins_of = [int(d["insert_slice_overflow"]) for d in odo.diags]
+    assert sum(gn_of) == 0, gn_of
+    assert sum(ins_of) == 0, ins_of

@@ -13,7 +13,6 @@ CFG = Config(
     max_scan_points=4096,
     max_imu_per_scan=48,
     hash_capacity_log2=16,
-    scan_hash_capacity_log2=13,
 )
 
 

@@ -11,7 +11,6 @@ from eskf_lio_tpu.ops import voxel as vx
 
 VS = 0.3
 CAP = 1 << 12  # small table to stress collisions
-PROBE = 32  # generous probe bound for the high collision rate of a tiny table
 
 
 class DictMap:
@@ -57,7 +56,6 @@ def do_insert(m, pts, covs, valid=None, max_points=1000):
         jnp.asarray(valid),
         voxel_size=VS,
         max_points_per_voxel=max_points,
-        max_probe=PROBE,
     )
 
 
@@ -78,7 +76,7 @@ def test_insert_lookup_roundtrip(rng):
     ref.insert(pts.astype(np.float64), covs.astype(np.float64))
     assert int(m.num_voxels()) == len(ref.vox)
 
-    mean, cov, hit = vm.lookup(m, jnp.asarray(pts), voxel_size=VS, max_probe=PROBE)
+    mean, cov, hit = vm.lookup(m, jnp.asarray(pts), voxel_size=VS)
     assert bool(jnp.all(hit))
     mean = np.asarray(mean)
     cov = np.asarray(vm.unpack_cov(cov))
@@ -94,7 +92,7 @@ def test_lookup_miss(rng):
     m = vm.VoxelMap.create(CAP)
     m, _ = do_insert(m, pts, covs)
     far = pts + 1000.0
-    _, _, hit = vm.lookup(m, jnp.asarray(far), voxel_size=VS, max_probe=PROBE)
+    _, _, hit = vm.lookup(m, jnp.asarray(far), voxel_size=VS)
     assert not bool(jnp.any(hit))
 
 
@@ -113,7 +111,7 @@ def test_incremental_matches_dict(rng):
     assert int(m.num_voxels()) == len(ref.vox)
     probe_pts = np.concatenate(all_pts)[::31]
     mean, cov, hit = vm.lookup(
-        m, jnp.asarray(probe_pts), voxel_size=VS, max_probe=PROBE
+        m, jnp.asarray(probe_pts), voxel_size=VS
     )
     assert bool(jnp.all(hit))
     for i, p in enumerate(probe_pts):
@@ -133,12 +131,12 @@ def test_point_cap(rng):
     covs = np.tile(np.eye(3, dtype=np.float32), (max_pts, 1, 1))
     pts = np.tile(base, (max_pts, 1))
     m, _ = do_insert(m, pts, covs, max_points=max_pts)
-    mean0, _, _ = vm.lookup(m, jnp.asarray(base[None]), voxel_size=VS, max_probe=PROBE)
+    mean0, _, _ = vm.lookup(m, jnp.asarray(base[None]), voxel_size=VS)
     # full voxel: further inserts must not change the stats
     pts2 = np.tile(base + 0.05, (16, 1))
     covs2 = np.tile(np.eye(3, dtype=np.float32) * 5, (16, 1, 1))
     m, _ = do_insert(m, pts2, covs2, max_points=max_pts)
-    mean1, _, _ = vm.lookup(m, jnp.asarray(base[None]), voxel_size=VS, max_probe=PROBE)
+    mean1, _, _ = vm.lookup(m, jnp.asarray(base[None]), voxel_size=VS)
     np.testing.assert_array_equal(np.asarray(mean0), np.asarray(mean1))
     m, _ = vm.compact(m, max_points_per_voxel=max_pts)
     assert int(m.count.max()) == max_pts
@@ -158,7 +156,7 @@ def test_cap_cross_batch(rng):
     m, _ = do_insert(m, pts2.astype(np.float32), covs2, max_points=max_pts)
     mc, _ = vm.compact(m, max_points_per_voxel=max_pts)
     assert int(mc.count.max()) == max_pts
-    mean, _, hit = vm.lookup(m, jnp.asarray(base[None]), voxel_size=VS, max_probe=PROBE)
+    mean, _, hit = vm.lookup(m, jnp.asarray(base[None]), voxel_size=VS)
     expect = (2 * base + 2 * (base + [0.01, 0, 0])) / 4
     np.testing.assert_allclose(np.asarray(mean)[0], expect, atol=1e-5)
 
@@ -172,8 +170,8 @@ def test_invalid_points_ignored(rng):
     m2, _ = do_insert(m2, pts[valid], covs[valid])
     assert int(m1.num_voxels()) == int(m2.num_voxels())
     q = pts[valid]
-    mean1, cov1, h1 = vm.lookup(m1, jnp.asarray(q), voxel_size=VS, max_probe=PROBE)
-    mean2, cov2, h2 = vm.lookup(m2, jnp.asarray(q), voxel_size=VS, max_probe=PROBE)
+    mean1, cov1, h1 = vm.lookup(m1, jnp.asarray(q), voxel_size=VS)
+    mean2, cov2, h2 = vm.lookup(m2, jnp.asarray(q), voxel_size=VS)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean2), atol=1e-5)
 
@@ -185,21 +183,21 @@ def test_evict(rng):
     n_before = int(m.num_voxels())
     center = jnp.zeros(3)
     m2, removed = vm.evict_beyond(
-        m, center, voxel_size=VS, distance_threshold=10.0, max_probe=PROBE
+        m, center, voxel_size=VS, distance_threshold=10.0
     )
     assert 0 < int(removed) < n_before
     assert int(m2.num_voxels()) == n_before - int(removed)
     # surviving voxels still resolvable, with identical stats
     dist = np.linalg.norm(pts, axis=-1)
     near = pts[dist < 9.0]  # margin: voxel center vs point position
-    mean_a, cov_a, hit_a = vm.lookup(m, jnp.asarray(near), voxel_size=VS, max_probe=PROBE)
-    mean_b, cov_b, hit_b = vm.lookup(m2, jnp.asarray(near), voxel_size=VS, max_probe=PROBE)
+    mean_a, cov_a, hit_a = vm.lookup(m, jnp.asarray(near), voxel_size=VS)
+    mean_b, cov_b, hit_b = vm.lookup(m2, jnp.asarray(near), voxel_size=VS)
     assert bool(jnp.all(hit_b))
     np.testing.assert_array_equal(np.asarray(mean_a), np.asarray(mean_b))
     np.testing.assert_array_equal(np.asarray(cov_a), np.asarray(cov_b))
     # far voxels gone
     far = pts[dist > 12.0]
-    _, _, hit_far = vm.lookup(m2, jnp.asarray(far), voxel_size=VS, max_probe=PROBE)
+    _, _, hit_far = vm.lookup(m2, jnp.asarray(far), voxel_size=VS)
     assert not bool(jnp.any(hit_far))
 
 
@@ -210,7 +208,7 @@ def test_insert_jittable(rng):
     @jax.jit
     def step(m, p, c, v):
         return vm.insert(
-            m, p, c, v, voxel_size=VS, max_points_per_voxel=1000, max_probe=PROBE
+            m, p, c, v, voxel_size=VS, max_points_per_voxel=1000
         )
 
     m2, dropped = step(
@@ -235,5 +233,5 @@ def test_high_load_factor(rng):
     assert int(dropped) < n_pts * 0.05
     assert int(m.num_voxels()) >= len(ref.vox) * 0.95
     # every resolved voxel must still be findable (drop, never misplace)
-    mean, _, hit = vm.lookup(m, jnp.asarray(pts), voxel_size=VS, max_probe=PROBE)
+    mean, _, hit = vm.lookup(m, jnp.asarray(pts), voxel_size=VS)
     assert int(jnp.sum(hit)) >= int(m.num_voxels())

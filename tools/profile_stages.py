@@ -48,13 +48,13 @@ def main():
         max_scan_points=16384,
         max_imu_per_scan=64,
         hash_capacity_log2=19,
-        scan_hash_capacity_log2=16,
-        max_probe=32,
     )
     seq = dataset.make_synthetic_sequence(
         duration=13.0, points_per_scan=20000, seed=11
     )
-    init_scan, chunks, scans, evicts, _ = replay.pack_sequence(config, seq)
+    init_scan, chunks, scans, evicts, updates, _ = replay.pack_sequence(
+        config, seq
+    )
     init_step = odo.make_init_step(config)
 
     state = eskf.init_state(config)
@@ -68,6 +68,7 @@ def main():
     state, voxmap, prev_R, prev_t, _, ts_w, diags = rstep(
         state, voxmap, jnp.eye(3), jnp.zeros(3),
         sl(chunks, 0, nwarm), sl(scans, 0, nwarm), evicts[:nwarm],
+        updates[:nwarm],
     )
     jax.block_until_ready(ts_w)
     it_counts = np.asarray(diags["icp_iterations"])
@@ -132,8 +133,7 @@ def main():
     # --- stage 4: insert ---
     ins = jax.jit(lambda m, p, c, v: vm.insert(
         m, p, c, v, voxel_size=config.map_voxel_size,
-        max_points_per_voxel=config.max_points_per_voxel,
-        max_probe=config.max_probe))
+        max_points_per_voxel=config.max_points_per_voxel))
     ms, _ = timeit(ins, voxmap, processed.points,
                    vm.pack_cov(processed.covs), processed.valid)
     print(f"insert:               {ms:.2f} ms")
