@@ -1,17 +1,25 @@
 """Benchmark: full LIO loop throughput on the available accelerator.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-Workload: a Hilti-class synthetic sequence (20k-point sweeps at 10 Hz,
-400 Hz IMU — exp21's sensor rates, `BASELINE.md`), processed by the
+`value` is the HEAVY series: the shipped `config/hilti.yaml` capacities
+(131072 raw / 32768 downsampled points, hash 2^19) — the workload the
+framework actually configures for Hilti exp21 (Pandar XT-32 class point
+budgets, `BASELINE.md`).  A `light` series (24576/12288, the round-2
+workload) is kept for continuity, and `stages_ms` persists a per-stage
+breakdown (predict / preprocess / align / insert / evict / full step)
+measured at the heavy shapes on a warm map.
+
+Workload: a Hilti-class synthetic sequence at exp21's sensor rates (10 Hz
+sweeps, 400 Hz IMU, datasheet-level noise+bias), processed by the
 device-resident replay loop (`pipeline/replay.py`): the whole batch of LIO
 frames — deskew, downsample, covariances, VGICP Gauss-Newton, ESKF update,
 voxel-map insert/evict — runs under one `lax.scan` dispatch on device.
 
 Timing: the device is synchronised by fetching a scalar from the final
 state (async dispatch acks are NOT trusted).  Warmup batch first so compile
-time is excluded.
+time is excluded; warmup and timed batches have identical shapes.
 
 Baseline denominator: the reference (C++/OpenMP, `Odometry.cpp:99-109`)
 publishes no numbers and cannot run here (no ROS/Open3D); the 10 Hz sensor
@@ -39,35 +47,56 @@ import jax.numpy as jnp
 from eskf_lio_tpu.config import Config, ImuConfig
 from eskf_lio_tpu.io import dataset
 from eskf_lio_tpu.map import voxel_map as vm
-from eskf_lio_tpu.models import eskf
+from eskf_lio_tpu.models import eskf, registration
+from eskf_lio_tpu.ops import preprocess
 from eskf_lio_tpu.pipeline import odometry as odo
 from eskf_lio_tpu.pipeline import replay
 
 SCAN_RATE_HZ = 10.0  # Hesai Pandar real-time rate on exp21
 
+# Shipped workload (`config/hilti.yaml` tpu section) — the headline series.
+HEAVY = dict(
+    max_raw_points=131072, max_scan_points=32768, points_per_scan=120000
+)
+# Round-2 continuity series.
+LIGHT = dict(max_raw_points=24576, max_scan_points=12288, points_per_scan=20000)
 
-def main() -> None:
-    config = Config(
+
+def _sync(out) -> None:
+    """Force a device round-trip (axon acks early on block_until_ready)."""
+    leaf = jax.tree.leaves(out)[0]
+    float(np.asarray(leaf).ravel()[0])
+
+
+def make_config(max_raw_points: int, max_scan_points: int) -> Config:
+    return Config(
         imu=ImuConfig(gravity=(0.0, 0.0, -9.81)),
         translation_noise=1e-3,
         rotation_noise=3e-4,
-        max_raw_points=24576,
-        max_scan_points=12288,
+        max_raw_points=max_raw_points,
+        max_scan_points=max_scan_points,
         max_imu_per_scan=64,
         hash_capacity_log2=19,
         map_delta_log2=14,
+        gn_backend=os.environ.get("ESKF_GN_BACKEND", "auto"),
     )
-    import numpy as _np
 
-    seq = dataset.make_synthetic_sequence(
-        duration=13.0, points_per_scan=20000, seed=11,
+
+def make_sequence(points_per_scan: int) -> dataset.Sequence:
+    return dataset.make_synthetic_sequence(
+        duration=13.0, points_per_scan=points_per_scan, seed=11,
         # realistic sensor imperfections (datasheet-level noise + biases) —
         # the filter models them, so the workload should contain them
         imu_noise_gyro=4.9e-3, imu_noise_accel=0.0206,
-        gyro_bias=_np.array([0.002, -0.001, 0.0015]),
-        accel_bias=_np.array([0.02, -0.03, 0.01]),
+        gyro_bias=np.array([0.002, -0.001, 0.0015]),
+        accel_bias=np.array([0.02, -0.03, 0.01]),
     )
 
+
+def run_series(config: Config, seq: dataset.Sequence) -> dict:
+    """Timed replay: warmup on the first half, time the same-shaped second
+    half in one dispatch.  Returns throughput stats + a warm (state, voxmap,
+    chunk, scan) probe set for the stage breakdown."""
     init_scan, chunks, scans, evicts, updates, _ = replay.pack_sequence(
         config, seq
     )
@@ -81,34 +110,209 @@ def main() -> None:
 
     b_total = chunks.dt.shape[0]
     assert b_total >= 64, "sequence too short for a timed window"
-    # warmup and timed batches MUST have identical shapes: a different batch
-    # length would retrace and the timed region would include compilation
     n = b_total // 2
     sl = lambda a, s, e: jax.tree.map(lambda x: x[s:e], a)
 
-    # warmup (includes compile); sync via scalar fetch — async acks lie
+    # warmup (includes compile); also leaves a warm, realistic map
     state, voxmap, prev_R, prev_t, _, ts_w, _ = replay_step(
         state, voxmap, prev_R, prev_t,
         sl(chunks, 0, n), sl(scans, 0, n), evicts[:n], updates[:n],
     )
-    float(np.asarray(ts_w[-1, 0]))
+    _sync(ts_w)
+    probe = dict(
+        state=state, voxmap=voxmap, prev_R=prev_R, prev_t=prev_t,
+        chunk=jax.tree.map(lambda x: x[n], chunks),
+        scan=jax.tree.map(lambda x: x[n], scans),
+    )
 
-    # timed region: same-shaped second half in one dispatch
     t0 = time.perf_counter()
     state, voxmap, prev_R, prev_t, _, ts_b, diags = replay_step(
         state, voxmap, prev_R, prev_t,
         sl(chunks, n, 2 * n), sl(scans, n, 2 * n),
         evicts[n : 2 * n], updates[n : 2 * n],
     )
-    float(np.asarray(ts_b[-1, 0]))  # device sync
+    _sync(ts_b)
     elapsed = time.perf_counter() - t0
+    conv = np.asarray(diags["icp_converged"])[np.asarray(updates[n : 2 * n])]
+    return {
+        "scans_per_sec": round(n / elapsed, 2),
+        "timed_scans": int(n),
+        "icp_convergence_rate": round(float(conv.mean()), 3),
+        "_probe": probe,
+    }
 
-    scans_per_sec = n / elapsed
+
+def _timeit_scanned(make_scanned, k: int) -> float:
+    """Time `k` stage iterations inside ONE dispatch (the ~30 ms tunnel
+    dispatch overhead would otherwise swamp every per-stage number), with a
+    carry dependency so iterations can't be CSE'd.  Returns ms/iter."""
+    fn = jax.jit(make_scanned(k))
+    out = fn()
+    _sync(out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = fn()
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / k * 1e3
+
+
+def stage_breakdown(config: Config, probe: dict) -> dict:
+    """Per-stage ms at the heavy shapes on a warm map (the reference's
+    stage report role, `Odometry.cpp:99-109`, but measured per stage on
+    device).  Uses the post-warmup state/map so shapes and sparsity are
+    realistic; every stage loops inside one dispatch."""
+    noise = eskf.make_noise_params(config)
+    T_il = odo.lidar_extrinsics(config)
+    state, voxmap = probe["state"], probe["voxmap"]
+    chunk, scan = probe["chunk"], probe["scan"]
+
+    def predict_scanned(k):
+        def run():
+            def body(s, _):
+                base, _hist = eskf.predict_chunk_prefix(
+                    s, chunk, noise, base_mask=chunk.t_rel <= 0.0
+                )
+                return base, base.p[0]
+            _, out = jax.lax.scan(body, state, None, length=k)
+            return out
+        return run
+
+    ms_predict = _timeit_scanned(predict_scanned, 200)
+    base, hist = jax.jit(
+        lambda s, c: eskf.predict_chunk_prefix(
+            s, c, noise, base_mask=c.t_rel <= 0.0
+        )
+    )(state, chunk)
+
+    def prep_scanned(k):
+        def run():
+            def body(c, _):
+                s2 = scan._replace(points=scan.points + c * 1e-9)
+                processed = preprocess.preprocess(s2, hist, T_il, config)
+                return processed.points[0, 0], processed.points[0, 1]
+            _, out = jax.lax.scan(
+                body, jnp.zeros((), scan.points.dtype), None, length=k
+            )
+            return out
+        return run
+
+    ms_prep = _timeit_scanned(prep_scanned, 30)
+    processed = jax.jit(
+        lambda s, h: preprocess.preprocess(s, h, T_il, config)
+    )(scan, hist)
+
+    guess = eskf.pose_of(base)
+
+    def align_scanned(k):
+        def run():
+            def body(c, _):
+                g2 = odo.Pose(guess.R, guess.t + c * 1e-9)
+                res = registration.align(processed, voxmap, g2, config)
+                return c + res.pose.t[0] * 0.0, res.iterations
+            _, out = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), None, length=k
+            )
+            return out
+        return run
+
+    ms_align = _timeit_scanned(align_scanned, 20)
+    res = jax.jit(
+        lambda p, m, g: registration.align(p, m, g, config)
+    )(processed, voxmap, guess)
+    iters = int(res.iterations)
+
+    covs_packed = vm.pack_cov(processed.covs)
+
+    def insert_scanned(k):
+        def run():
+            def body(m, _):
+                m2, dropped = vm.insert(
+                    m, processed.points, covs_packed, processed.valid,
+                    voxel_size=config.map_voxel_size,
+                    max_points_per_voxel=config.max_points_per_voxel,
+                )
+                return m2, dropped
+            _, out = jax.lax.scan(body, voxmap, None, length=k)
+            return out
+        return run
+
+    ms_insert = _timeit_scanned(insert_scanned, 30)
+
+    def evict_scanned(k):
+        def run():
+            def body(m, _):
+                m2, removed = vm.evict_beyond(
+                    m, guess.t,
+                    voxel_size=config.map_voxel_size,
+                    distance_threshold=config.remove_distance_threshold,
+                    max_points_per_voxel=config.max_points_per_voxel,
+                )
+                return m2, removed
+            _, out = jax.lax.scan(body, voxmap, None, length=k)
+            return out
+        return run
+
+    ms_evict = _timeit_scanned(evict_scanned, 5)
+
+    core = odo.make_step_core(config)
+
+    def full_scanned(k):
+        def run():
+            def body(carry, _):
+                carry2, diag = core(
+                    carry, (chunk, scan, jnp.asarray(False))
+                )
+                return carry2, diag["num_correspondences"]
+            _, out = jax.lax.scan(
+                body,
+                (state, voxmap, probe["prev_R"], probe["prev_t"]),
+                None, length=k,
+            )
+            return out
+        return run
+
+    ms_full = _timeit_scanned(full_scanned, 30)
+    return {
+        "predict": round(ms_predict, 3),
+        "preprocess": round(ms_prep, 3),
+        "align": round(ms_align, 3),
+        "align_iters": iters,
+        "insert": round(ms_insert, 3),
+        "evict": round(ms_evict, 3),
+        "full_step": round(ms_full, 3),
+    }
+
+
+def main() -> None:
+    heavy_cfg = make_config(HEAVY["max_raw_points"], HEAVY["max_scan_points"])
+    heavy = run_series(heavy_cfg, make_sequence(HEAVY["points_per_scan"]))
+    stages = stage_breakdown(heavy_cfg, heavy.pop("_probe"))
+
+    light_cfg = make_config(LIGHT["max_raw_points"], LIGHT["max_scan_points"])
+    light = run_series(light_cfg, make_sequence(LIGHT["points_per_scan"]))
+    light.pop("_probe")
+
     result = {
         "metric": "lio_scans_per_sec_per_chip",
-        "value": round(scans_per_sec, 2),
+        "value": heavy["scans_per_sec"],
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / SCAN_RATE_HZ, 2),
+        "vs_baseline": round(heavy["scans_per_sec"] / SCAN_RATE_HZ, 2),
+        "workload": {
+            "max_raw_points": HEAVY["max_raw_points"],
+            "max_scan_points": HEAVY["max_scan_points"],
+            "points_per_scan": HEAVY["points_per_scan"],
+            "note": "shipped config/hilti.yaml capacities",
+        },
+        "heavy": {k: v for k, v in heavy.items()},
+        "light": {
+            **light,
+            "max_raw_points": LIGHT["max_raw_points"],
+            "max_scan_points": LIGHT["max_scan_points"],
+        },
+        "stages_ms": stages,
+        "gn_backend": heavy_cfg.gn_backend,
     }
     print(json.dumps(result))
 

@@ -101,6 +101,13 @@ class Config:
     icp_max_iterations: int = 100
     icp_translation_sq_threshold: float = 1.0e-6
     icp_cosine_threshold: float = 0.9999
+    # Normal-equations backend: "auto" | "einsum" (XLA batched matmuls) |
+    # "pallas" (fused VMEM kernel, `ops/gn_pallas.py`).  Measured
+    # head-to-head on one v5e chip at N=32768 (tools/bench_gn.py): pallas
+    # 584 µs vs einsum 1207 µs per GN iteration (2.07x), full align 1.16x —
+    # so "auto" resolves to pallas on TPU, einsum elsewhere (the kernel
+    # would run interpreted off-TPU).
+    gn_backend: str = "auto"
 
     # --- TPU static capacities (new; no reference counterpart) -----------
     max_raw_points: int = 131072  # per-scan raw point budget (padded)
@@ -223,6 +230,7 @@ def load_config(path: str) -> Config:
         "mesh_axis_name",
         "shard_slack",
         "shard_halo",
+        "gn_backend",
     ):
         if key in tpu:
             kwargs[key] = tpu[key]

@@ -302,6 +302,107 @@ def lookup_packed(
 
 
 # ---------------------------------------------------------------------------
+# merged (single-gather) lookup view
+# ---------------------------------------------------------------------------
+
+
+class LookupView(NamedTuple):
+    """Read-optimised snapshot of the two-tier map: ONE set-associative view
+    over C+D finalised payload rows, so a batch lookup is a single
+    row-gather + a single payload gather (instead of two of each plus a
+    running-mean combine per point).  Built once per scan before the GN
+    while-loop — the align loop does `icp_max_iterations` lookups against a
+    map that cannot change mid-align, so the merge cost amortises across
+    iterations (ref re-matches per iteration too, `Registration.cpp:16`)."""
+
+    view: jnp.ndarray  # [C/2, 16] int32 — main view + delta-only entries
+    payload: jnp.ndarray  # [C + D, 10] f32 finalised (count, mean, cov)
+
+
+def build_lookup(
+    vmap: VoxelMap, *, max_points_per_voxel: int = 1000
+) -> tuple[LookupView, jnp.ndarray]:
+    """Fold the delta tier into a single lookup structure.
+
+    * delta entries whose voxel exists in MAIN overwrite that payload row
+      with the cap-combined stats (no view change needed);
+    * delta-only entries are appended as payload rows C+j and scattered
+      into the MAIN view's free slots (occupied slots are always a prefix
+      of each bucket, so slot = first_free + rank-in-bucket);
+    * a delta-only entry landing in a full bucket is dropped from the view
+      (a missed correspondence, never corruption) and counted.
+
+    Returns (LookupView, n_dropped)."""
+    cap = jnp.asarray(max_points_per_voxel, vmap.payload.dtype)
+    c_cap = vmap.capacity
+    d_cap = vmap.delta_capacity
+    d_live = vmap.d_skey != INT32_MAX
+
+    mi, found = _view_find(vmap.view, vmap.d_skey)
+    merged = jnp.logical_and(found, d_live)
+    pay_m = jnp.where(merged[:, None], vmap.payload[mi], 0.0)
+    cnt, mean, cov = _combine(
+        pay_m[:, 0], pay_m[:, 1:4], pay_m[:, 4:10],
+        vmap.d_payload[:, 0], vmap.d_payload[:, 1:4], vmap.d_payload[:, 4:10],
+        cap,
+    )
+    d_final = jnp.concatenate([cnt[:, None], mean, cov], axis=1)  # [D, 10]
+
+    payload = jnp.concatenate([vmap.payload, d_final], axis=0)  # [C+D, 10]
+    over_rows = jnp.where(merged, mi, c_cap + d_cap)  # OOB -> drop
+    payload = payload.at[over_rows].set(d_final, mode="drop")
+
+    # delta-only entries -> free view slots.  d_skey ascends and bucket_of
+    # is monotone, so equal-bucket runs are contiguous: segmented rank via
+    # one cummax + one cumsum.
+    new = jnp.logical_and(d_live, ~found)
+    nb = vmap.view.shape[0]
+    b = sm.bucket_of(vmap.d_skey, nb)
+    bucket_rows = vmap.view[b]  # [D, 16]
+    keys8 = bucket_rows[:, 0::2]
+    empty8 = keys8 == INT32_MAX
+    first_free = jnp.sum((~empty8).astype(jnp.int32), axis=1)  # prefix-packed
+
+    pos = jnp.arange(d_cap, dtype=jnp.int32)
+    head = jnp.concatenate([jnp.ones((1,), bool), b[1:] != b[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(head, pos, 0)
+    )
+    incl = jnp.cumsum(new.astype(jnp.int32))
+    base = (incl - new.astype(jnp.int32))[seg_start]
+    rank = incl - 1 - base  # rank among NEW entries of the same bucket
+
+    slot = first_free + rank
+    ok = jnp.logical_and(new, slot < VIEW_ASSOC)
+    dropped = jnp.sum(jnp.logical_and(new, ~ok).astype(jnp.int32))
+    col = jnp.where(ok, 2 * slot, 2 * VIEW_ASSOC)  # OOB col -> dropped
+    bs = jnp.where(ok, b, nb)
+    view = vmap.view.at[bs, col].set(vmap.d_skey, mode="drop")
+    view = view.at[bs, col + 1].set(c_cap + pos, mode="drop")
+    return LookupView(view=view, payload=payload), dropped
+
+
+def lookup_merged(
+    lv: LookupView,
+    points: jnp.ndarray,
+    *,
+    voxel_size: float,
+    origin: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-gather correspondence lookup against a `build_lookup` snapshot
+    (ref `correspondenceMatching`, `LocalMap.cpp:78-109`).
+
+    Returns (mean [N,3], cov_packed [N,6], hit [N] bool)."""
+    keys = vx.voxel_key(points, voxel_size)
+    packed, in_range = sm.pack_keys(keys, origin)
+    skey = sm.skey_of(packed)
+    idx, found = _view_find(lv.view, skey)
+    hit = jnp.logical_and(found, in_range)
+    pay = jnp.where(hit[:, None], lv.payload[idx], 0.0)
+    return pay[:, 1:4], pay[:, 4:10], hit
+
+
+# ---------------------------------------------------------------------------
 # insert (delta merge + conditional compaction)
 # ---------------------------------------------------------------------------
 

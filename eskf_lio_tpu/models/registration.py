@@ -143,9 +143,10 @@ def align(
 ) -> AlignResult:
     """Iterated GN alignment (`ICP::align`, `Registration.cpp:7-35`).
 
-    `lookup_fn(points_world) -> (mu [N,3], cov [N,3,3], hit [N])` defaults to
-    the local single-device map lookup; the sharded path passes a closure
-    probing only the caller's map shard (hit=False off-shard).
+    `lookup_fn(points_world) -> (mu [N,3], cov_packed [N,6], hit [N])`
+    defaults to the local single-device merged-view lookup; the sharded
+    path passes a closure probing only the caller's map shard (hit=False
+    off-shard).
 
     `reduce_fn(JTJ, JTr, num_corr) -> (JTJ, JTr, num_corr)` is identity by
     default; under shard_map the sharded path passes a psum over the mesh
@@ -154,33 +155,59 @@ def align(
     floats over ICI per GN iteration.
     """
     if lookup_fn is None:
+        # fold the delta tier once per scan: the GN loop then does ONE
+        # row-gather + ONE payload gather per iteration instead of two of
+        # each + a per-point running-mean combine (`map/voxel_map.py
+        # build_lookup`) — the map cannot change mid-align
+        lv, _ = vm.build_lookup(
+            voxmap, max_points_per_voxel=config.max_points_per_voxel
+        )
+
         def lookup_fn(pts):
-            mu, cov_packed, hit = vm.lookup(
-                voxmap,
+            return vm.lookup_merged(
+                lv,
                 pts,
                 voxel_size=config.map_voxel_size,
-                max_points_per_voxel=config.max_points_per_voxel,
+                origin=voxmap.origin,
             )
-            return mu, vm.unpack_cov(cov_packed), hit
 
     if reduce_fn is None:
         def reduce_fn(JTJ, JTr, num_corr):
             return JTJ, JTr, num_corr
 
+    backend = config.gn_backend
+    if backend == "auto":
+        # measured head-to-head (tools/bench_gn.py, README "Pallas vs
+        # XLA"): the fused kernel wins on TPU; einsum elsewhere (the
+        # kernel would run interpreted off-TPU)
+        backend = "pallas" if jax.default_backend() == "tpu" else "einsum"
+
     covs = scan.covs
+    covs_packed = vm.pack_cov(covs)  # loop-invariant (body frame)
 
     def body(carry):
         R_tot, t_tot, it, _, _ = carry
         pts_w = lie.transform_points(R_tot, t_tot, scan.points)
-        # rotate source covariances into world frame: R Σ Rᵀ
-        covs_w = jnp.einsum(
-            "ab,nbc,dc->nad", R_tot, covs, R_tot, precision=_HI
-        )
-        mu, cov_map, hit = lookup_fn(pts_w)
+        mu, cov_map_packed, hit = lookup_fn(pts_w)
         mask = jnp.logical_and(scan.valid, hit)
         num_corr = jnp.sum(mask.astype(jnp.int32))
 
-        JTJ, JTr = normal_equations(pts_w, covs_w, mu, cov_map, mask)
+        if backend == "pallas":
+            from eskf_lio_tpu.ops import gn_pallas
+
+            # the kernel applies the world-frame rotation Σ_w = R Σ Rᵀ
+            # internally — no [N,3,3] intermediate in the loop body
+            JTJ, JTr = gn_pallas.normal_equations_pallas_rotated(
+                pts_w, covs_packed, R_tot, mu, cov_map_packed, mask
+            )
+        else:
+            # rotate source covariances into world frame: R Σ Rᵀ
+            covs_w = jnp.einsum(
+                "ab,nbc,dc->nad", R_tot, covs, R_tot, precision=_HI
+            )
+            JTJ, JTr = normal_equations(
+                pts_w, covs_w, mu, vm.unpack_cov(cov_map_packed), mask
+            )
         JTJ, JTr, num_corr = reduce_fn(JTJ, JTr, num_corr)
         R_d, t_d = solve_increment(JTJ, JTr, num_corr)
 

@@ -200,14 +200,17 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
         # The local shard only stores owned voxels, so `hit` is the exact
         # ownership filter — a point over-claimed by two devices hits on
         # exactly one of them.
+        lv, _ = vm.build_lookup(
+            voxmap, max_points_per_voxel=config.max_points_per_voxel
+        )
+
         def lookup_fn(pts):
-            mu, cov_packed, hit = vm.lookup(
-                voxmap,
+            return vm.lookup_merged(
+                lv,
                 pts,
                 voxel_size=config.map_voxel_size,
-                max_points_per_voxel=config.max_points_per_voxel,
+                origin=voxmap.origin,
             )
-            return mu, vm.unpack_cov(cov_packed), hit
 
         def reduce_fn(JTJ, JTr, num_corr):
             return (

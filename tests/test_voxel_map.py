@@ -235,3 +235,53 @@ def test_high_load_factor(rng):
     # every resolved voxel must still be findable (drop, never misplace)
     mean, _, hit = vm.lookup(m, jnp.asarray(pts), voxel_size=VS)
     assert int(jnp.sum(hit)) >= int(m.num_voxels())
+
+
+def test_merged_lookup_matches_two_tier(rng):
+    """`build_lookup` + `lookup_merged` must equal the two-tier `lookup`
+    exactly — main-only, delta-only, and merged (main+delta) voxels, plus
+    misses — across several insert epochs (so both tiers are populated)."""
+    m = vm.VoxelMap.create(CAP, CAP // 8)
+    for seed in range(3):
+        pts, covs = rand_cloud(np.random.default_rng(seed), 1500)
+        m, _ = do_insert(m, pts, covs)
+    # queries: recent batch (delta-heavy), older batch (main), misses
+    q = np.concatenate([
+        rand_cloud(np.random.default_rng(2), 1500)[0],
+        rand_cloud(np.random.default_rng(0), 1500)[0],
+        np.full((64, 3), 100.0, np.float32),
+    ])
+    mean1, cov1, hit1 = vm.lookup(m, jnp.asarray(q), voxel_size=VS)
+    lv, dropped = vm.build_lookup(m)
+    mean2, cov2, hit2 = vm.lookup_merged(
+        lv, jnp.asarray(q), voxel_size=VS, origin=m.origin
+    )
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(np.asarray(hit2), np.asarray(hit1))
+    np.testing.assert_allclose(
+        np.asarray(mean2), np.asarray(mean1), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov2), np.asarray(cov1), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_merged_lookup_point_cap(rng):
+    """Cap semantics survive the merge: a voxel saturated across tiers
+    reads the same through the merged view."""
+    base = np.array([0.1, 0.1, 0.1], np.float32)
+    m = vm.VoxelMap.create(1 << 8, 1 << 6)
+    for k in range(3):
+        pts = np.tile(base, (40, 1)) + np.float32(k) * 1e-3
+        covs = np.tile(np.eye(3, dtype=np.float32) * 0.01, (40, 1, 1))
+        m, _ = do_insert(m, pts, covs, max_points=50)
+    mean1, cov1, hit1 = vm.lookup(
+        m, jnp.asarray(base[None]), voxel_size=VS, max_points_per_voxel=50
+    )
+    lv, _ = vm.build_lookup(m, max_points_per_voxel=50)
+    mean2, cov2, hit2 = vm.lookup_merged(
+        lv, jnp.asarray(base[None]), voxel_size=VS, origin=m.origin
+    )
+    assert bool(hit1[0]) and bool(hit2[0])
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cov2), np.asarray(cov1), rtol=1e-6)
