@@ -208,9 +208,11 @@ def stage_breakdown(config: Config, probe: dict) -> dict:
     def align_scanned(k):
         def run():
             def body(c, _):
-                g2 = odo.Pose(guess.R, guess.t + c * 1e-9)
+                # data-dependent carry (NOT multiplied away) so XLA cannot
+                # hoist the loop-invariant align out of the scan
+                g2 = odo.Pose(guess.R, guess.t + c * 1e-12)
                 res = registration.align(processed, voxmap, g2, config)
-                return c + res.pose.t[0] * 0.0, res.iterations
+                return res.pose.t[0], res.iterations
             _, out = jax.lax.scan(
                 body, jnp.zeros((), jnp.float32), None, length=k
             )
@@ -286,6 +288,18 @@ def stage_breakdown(config: Config, probe: dict) -> dict:
 
 
 def main() -> None:
+    if os.environ.get("ESKF_BENCH_ONLY") == "light":
+        light_cfg = make_config(
+            LIGHT["max_raw_points"], LIGHT["max_scan_points"]
+        )
+        light = run_series(light_cfg, make_sequence(LIGHT["points_per_scan"]))
+        light.pop("_probe")
+        print(json.dumps({
+            "metric": "light_only", **light,
+            "gn_backend": light_cfg.gn_backend,
+        }))
+        return
+
     heavy_cfg = make_config(HEAVY["max_raw_points"], HEAVY["max_scan_points"])
     heavy = run_series(heavy_cfg, make_sequence(HEAVY["points_per_scan"]))
     stages = stage_breakdown(heavy_cfg, heavy.pop("_probe"))

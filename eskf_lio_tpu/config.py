@@ -108,6 +108,13 @@ class Config:
     # so "auto" resolves to pallas on TPU, einsum elsewhere (the kernel
     # would run interpreted off-TPU).
     gn_backend: str = "auto"
+    # Build a merged single-probe lookup view once per scan before the GN
+    # loop (`voxel_map.build_lookup`).  Measured on v5e: the ~1.3 ms build
+    # only amortises when GN runs ≳5 iterations; with the shipped noise
+    # tuning VGICP converges in 2-3, so the per-iteration two-tier probe
+    # wins and this stays off.  Enable for poor-initialisation regimes
+    # (high icp_max_iterations actually reached).
+    merged_lookup: bool = False
 
     # --- TPU static capacities (new; no reference counterpart) -----------
     max_raw_points: int = 131072  # per-scan raw point budget (padded)
@@ -231,6 +238,7 @@ def load_config(path: str) -> Config:
         "shard_slack",
         "shard_halo",
         "gn_backend",
+        "merged_lookup",
     ):
         if key in tpu:
             kwargs[key] = tpu[key]

@@ -220,6 +220,14 @@ def _view_find(
     view: jnp.ndarray, q_skey: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One row-gather lookup: returns (row_idx, found) per query skey."""
+    idx, _, found = _view_find_lane(view, q_skey)
+    return idx, found
+
+
+def _view_find_lane(
+    view: jnp.ndarray, q_skey: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`_view_find` that also reports the bucket lane of the match."""
     nb = view.shape[0]
     b = sm.bucket_of(q_skey, nb)
     rows = view[b]  # [N, 16] — a single 64-byte row gather
@@ -229,7 +237,7 @@ def _view_find(
     found = jnp.logical_and(jnp.any(eq, axis=1), q_skey != INT32_MAX)
     lane = jnp.argmax(eq, axis=1)
     idx = jnp.take_along_axis(idxs8, lane[:, None], axis=1)[:, 0]
-    return idx, found
+    return idx, lane, found
 
 
 def _combine(c_main, mean_main, cov_main, c_add, psum, csum, cap):
@@ -308,27 +316,36 @@ def lookup_packed(
 
 class LookupView(NamedTuple):
     """Read-optimised snapshot of the two-tier map: ONE set-associative view
-    over C+D finalised payload rows, so a batch lookup is a single
-    row-gather + a single payload gather (instead of two of each plus a
-    running-mean combine per point).  Built once per scan before the GN
-    while-loop — the align loop does `icp_max_iterations` lookups against a
-    map that cannot change mid-align, so the merge cost amortises across
-    iterations (ref re-matches per iteration too, `Registration.cpp:16`)."""
+    whose row indices span main payload rows [0, C) and finalised delta
+    rows [C, C+D), so a batch lookup is a single bucket row-gather + two
+    independent payload gathers (no per-point running-mean combine and no
+    second bucket probe).  Built once per scan before the GN while-loop —
+    the align loop does `icp_max_iterations` lookups against a map that
+    cannot change mid-align, so the merge cost amortises across iterations
+    (ref re-matches per iteration too, `Registration.cpp:16`).
 
-    view: jnp.ndarray  # [C/2, 16] int32 — main view + delta-only entries
-    payload: jnp.ndarray  # [C + D, 10] f32 finalised (count, mean, cov)
+    Deliberately does NOT copy or extend the [C,10] payload: 10-lane f32
+    rows pad to the 128-lane HBM tile, so one payload copy at C=2^19 moves
+    ~270 MB — measured ~2 ms/scan, more than the per-iteration savings.
+    Merged voxels are handled by REDIRECTING their view slot's row index to
+    the combined delta row instead."""
+
+    view: jnp.ndarray  # [C/2, 16] int32 — row idx < C: main; >= C: delta
+    payload: jnp.ndarray  # [C, 10] the map's main payload (no copy)
+    d_final: jnp.ndarray  # [D, 10] cap-combined (main+delta) stats
 
 
 def build_lookup(
     vmap: VoxelMap, *, max_points_per_voxel: int = 1000
 ) -> tuple[LookupView, jnp.ndarray]:
-    """Fold the delta tier into a single lookup structure.
+    """Fold the delta tier into a single lookup view.
 
-    * delta entries whose voxel exists in MAIN overwrite that payload row
-      with the cap-combined stats (no view change needed);
-    * delta-only entries are appended as payload rows C+j and scattered
-      into the MAIN view's free slots (occupied slots are always a prefix
-      of each bucket, so slot = first_free + rank-in-bucket);
+    * a delta entry whose voxel exists in MAIN gets the cap-combined stats
+      written to d_final[j], and the main view slot's row index redirected
+      to C+j (the skey in the slot is unchanged — one int32 scatter);
+    * a delta-only entry is scattered into its bucket's free slots
+      (occupied slots are always a prefix, so slot = first_free +
+      rank-in-bucket);
     * a delta-only entry landing in a full bucket is dropped from the view
       (a missed correspondence, never corruption) and counted.
 
@@ -337,8 +354,10 @@ def build_lookup(
     c_cap = vmap.capacity
     d_cap = vmap.delta_capacity
     d_live = vmap.d_skey != INT32_MAX
+    nb = vmap.view.shape[0]
+    b = sm.bucket_of(vmap.d_skey, nb)
 
-    mi, found = _view_find(vmap.view, vmap.d_skey)
+    mi, lane, found = _view_find_lane(vmap.view, vmap.d_skey)
     merged = jnp.logical_and(found, d_live)
     pay_m = jnp.where(merged[:, None], vmap.payload[mi], 0.0)
     cnt, mean, cov = _combine(
@@ -348,22 +367,21 @@ def build_lookup(
     )
     d_final = jnp.concatenate([cnt[:, None], mean, cov], axis=1)  # [D, 10]
 
-    payload = jnp.concatenate([vmap.payload, d_final], axis=0)  # [C+D, 10]
-    over_rows = jnp.where(merged, mi, c_cap + d_cap)  # OOB -> drop
-    payload = payload.at[over_rows].set(d_final, mode="drop")
+    pos = jnp.arange(d_cap, dtype=jnp.int32)
+    # (a) merged entries: redirect the existing slot's row index to C+j
+    col_m = jnp.where(merged, 2 * lane + 1, 2 * VIEW_ASSOC)  # OOB -> drop
+    b_m = jnp.where(merged, b, nb)
+    view = vmap.view.at[b_m, col_m].set(c_cap + pos, mode="drop")
 
-    # delta-only entries -> free view slots.  d_skey ascends and bucket_of
-    # is monotone, so equal-bucket runs are contiguous: segmented rank via
-    # one cummax + one cumsum.
+    # (b) delta-only entries -> free view slots.  d_skey ascends and
+    # bucket_of is monotone, so equal-bucket runs are contiguous:
+    # segmented rank via one cummax + one cumsum.
     new = jnp.logical_and(d_live, ~found)
-    nb = vmap.view.shape[0]
-    b = sm.bucket_of(vmap.d_skey, nb)
     bucket_rows = vmap.view[b]  # [D, 16]
     keys8 = bucket_rows[:, 0::2]
     empty8 = keys8 == INT32_MAX
     first_free = jnp.sum((~empty8).astype(jnp.int32), axis=1)  # prefix-packed
 
-    pos = jnp.arange(d_cap, dtype=jnp.int32)
     head = jnp.concatenate([jnp.ones((1,), bool), b[1:] != b[:-1]])
     seg_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(head, pos, 0)
@@ -377,9 +395,11 @@ def build_lookup(
     dropped = jnp.sum(jnp.logical_and(new, ~ok).astype(jnp.int32))
     col = jnp.where(ok, 2 * slot, 2 * VIEW_ASSOC)  # OOB col -> dropped
     bs = jnp.where(ok, b, nb)
-    view = vmap.view.at[bs, col].set(vmap.d_skey, mode="drop")
+    view = view.at[bs, col].set(vmap.d_skey, mode="drop")
     view = view.at[bs, col + 1].set(c_cap + pos, mode="drop")
-    return LookupView(view=view, payload=payload), dropped
+    return LookupView(
+        view=view, payload=vmap.payload, d_final=d_final
+    ), dropped
 
 
 def lookup_merged(
@@ -389,16 +409,26 @@ def lookup_merged(
     voxel_size: float,
     origin: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-gather correspondence lookup against a `build_lookup` snapshot
-    (ref `correspondenceMatching`, `LocalMap.cpp:78-109`).
+    """Single-probe correspondence lookup against a `build_lookup` snapshot
+    (ref `correspondenceMatching`, `LocalMap.cpp:78-109`): one bucket
+    row-gather, then two independent (non-dependent) payload gathers
+    selected by tier.
 
     Returns (mean [N,3], cov_packed [N,6], hit [N] bool)."""
+    c_cap = lv.payload.shape[0]
     keys = vx.voxel_key(points, voxel_size)
     packed, in_range = sm.pack_keys(keys, origin)
     skey = sm.skey_of(packed)
     idx, found = _view_find(lv.view, skey)
     hit = jnp.logical_and(found, in_range)
-    pay = jnp.where(hit[:, None], lv.payload[idx], 0.0)
+    is_main = idx < c_cap
+    pay_main = lv.payload[jnp.where(is_main, idx, 0)]
+    pay_delta = lv.d_final[jnp.clip(idx - c_cap, 0, lv.d_final.shape[0] - 1)]
+    pay = jnp.where(
+        jnp.logical_and(hit, is_main)[:, None],
+        pay_main,
+        jnp.where(jnp.logical_and(hit, ~is_main)[:, None], pay_delta, 0.0),
+    )
     return pay[:, 1:4], pay[:, 4:10], hit
 
 

@@ -215,12 +215,156 @@ def profile_align(n: int = 32768, iters: int = 10) -> None:
     }))
 
 
+def profile_lookup(n: int = 32768) -> None:
+    """Split the non-NE part of a GN iteration: transform+keys, view
+    gather, payload gather+selects.  Cumulative variants inside one
+    dispatch; differences give per-piece costs."""
+    from eskf_lio_tpu.config import Config
+    from eskf_lio_tpu.map import voxel_map as vm
+    from eskf_lio_tpu.map.voxel_map import pack_cov
+    from eskf_lio_tpu.ops import lie, sortmerge as sm
+    from eskf_lio_tpu.ops import voxel as vx
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-40, 40, size=(n, 3)).astype(np.float32)
+    A = rng.normal(size=(n, 3, 3)).astype(np.float32) * 0.05
+    covs = A @ A.transpose(0, 2, 1) + 0.01 * np.eye(3, dtype=np.float32)
+    cfg = Config(max_scan_points=n, hash_capacity_log2=19, map_delta_log2=14)
+    voxmap = vm.VoxelMap.create(cfg.hash_capacity, cfg.map_delta_capacity)
+    voxmap, _ = jax.jit(
+        lambda m, p, c: vm.insert(
+            m, p, c, jnp.ones(n, bool), voxel_size=cfg.map_voxel_size,
+            max_points_per_voxel=cfg.max_points_per_voxel,
+        )
+    )(voxmap, jnp.asarray(pts), pack_cov(jnp.asarray(covs)))
+    lv, _ = jax.jit(lambda m: vm.build_lookup(m))(voxmap)
+    pts_j = jnp.asarray(pts)
+    R0 = jnp.eye(3)
+    t0_ = jnp.zeros(3)
+
+    def variant(kind):
+        def step(c, i):
+            t = t0_ + c * 1e-9 + i * 1e-12
+            pw = lie.transform_points(R0, t, pts_j)
+            keys = vx.voxel_key(pw, cfg.map_voxel_size)
+            packed, in_range = sm.pack_keys(keys, voxmap.origin)
+            skey = sm.skey_of(packed)
+            if kind == "keys":
+                return c + jnp.sum(skey[:8].astype(jnp.float32)) * 1e-20, 0.0
+            idx, found = vm._view_find(lv.view, skey)
+            if kind == "view":
+                return c + jnp.sum(idx[:8].astype(jnp.float32)) * 1e-20, 0.0
+            hit = jnp.logical_and(found, in_range)
+            pay = jnp.where(hit[:, None], lv.payload[idx], 0.0)
+            return c + pay[0, 1] * 1e-20, 0.0
+        return step
+
+    KK = 1000
+    for kind in ("keys", "view", "full"):
+        @jax.jit
+        def run(_k=kind):
+            acc, _ = jax.lax.scan(
+                variant(_k), jnp.zeros((), jnp.float32),
+                jnp.arange(KK, dtype=jnp.float32),
+            )
+            return acc
+        out = run()
+        float(np.asarray(out))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = run()
+            float(np.asarray(out))
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({
+            "stage": f"lookup_{kind}", "n_points": n,
+            "us_per_iter": round(best / KK * 1e6, 1),
+        }))
+
+
+
+def profile_gather(n: int = 32768) -> None:
+    """Raw gather cost laws: element vs row gathers, row widths, table
+    sizes — decides whether the view probe is latency- or bytes-bound."""
+    rng = np.random.default_rng(0)
+    KK = 1000
+    C = 1 << 19
+
+    def timeit_scan(make_body, label):
+        @jax.jit
+        def run():
+            acc, _ = jax.lax.scan(
+                make_body(), jnp.zeros((), jnp.float32),
+                jnp.arange(KK, dtype=jnp.int32),
+            )
+            return acc
+        out = run()
+        float(np.asarray(out))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = run()
+            float(np.asarray(out))
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"stage": label, "n_points": n,
+                          "us_per_iter": round(best / KK * 1e6, 1)}))
+
+    idx0 = jnp.asarray(rng.integers(0, C, size=n, dtype=np.int32))
+
+    # (a) element gather [N] <- [C]
+    tab1 = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    def body_elem():
+        def f(c, i):
+            idx = (idx0 + i) % C
+            g = tab1[idx]
+            return c + g[0] * 1e-20, 0.0
+        return f
+    timeit_scan(body_elem, "gather_elem_1xf32")
+
+    # (b) row gathers of widths 4/8/16 int32
+    for w in (4, 8, 16):
+        nb = C * 16 // (2 * w)  # same total entries as the 8-assoc view
+        tab = jnp.asarray(rng.integers(0, 2**30, size=(nb, w), dtype=np.int32))
+        idxb = jnp.asarray(rng.integers(0, nb, size=n, dtype=np.int32))
+        def body_row(_tab=tab, _idxb=idxb, _nb=nb):
+            def f(c, i):
+                idx = (_idxb + i) % _nb
+                rows = _tab[idx]
+                return c + rows[0, 0].astype(jnp.float32) * 1e-20, 0.0
+            return f
+        timeit_scan(body_row, f"gather_row_{w}xi32")
+
+    # (c) the [C,10] f32 payload row gather
+    tabp = jnp.asarray(rng.normal(size=(C, 10)).astype(np.float32))
+    def body_pay():
+        def f(c, i):
+            idx = (idx0 + i) % C
+            rows = tabp[idx]
+            return c + rows[0, 0] * 1e-20, 0.0
+        return f
+    timeit_scan(body_pay, "gather_row_10xf32")
+
+    # (d) 10 separate 1-D gathers from [10, C] (transposed payload)
+    tabt = jnp.asarray(rng.normal(size=(10, C)).astype(np.float32))
+    def body_payT():
+        def f(c, i):
+            idx = (idx0 + i) % C
+            rows = tabt[:, idx]
+            return c + rows[0, 0] * 1e-20, 0.0
+        return f
+    timeit_scan(body_payT, "gather_cols_from_10xC")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "stage"
     if mode == "parts":
         profile_parts(int(sys.argv[2]) if len(sys.argv) > 2 else 32768)
     elif mode == "align":
         profile_align(int(sys.argv[2]) if len(sys.argv) > 2 else 32768)
+    elif mode == "lookup":
+        profile_lookup(int(sys.argv[2]) if len(sys.argv) > 2 else 32768)
+    elif mode == "gather":
+        profile_gather(int(sys.argv[2]) if len(sys.argv) > 2 else 32768)
     elif mode == "stage":
         main()
     else:
