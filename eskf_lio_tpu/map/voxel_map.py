@@ -14,11 +14,14 @@ microbenchmarks; all numbers one v5e chip):
 * entries are ordered by `skey = order-preserved bijective 32-bit hash of
   the packed voxel key` (`ops.sortmerge.skey_of`).  Bijective ⇒ equal skey
   ⟺ equal voxel; hashing ⇒ skeys are uniformly distributed, so a
-  set-associative `view` (8 interleaved (skey,row) pairs per 64-byte
-  bucket row, 4x slot headroom) resolves a batch of lookups with ONE
-  [N,16] row-gather + lane compares + one payload row-gather — ~3 gather
-  rounds per tier instead of log₂C ≈ 19 binary-search rounds
-  (4.4 ms → ~0.6 ms per GN iteration at C = 512k).
+  set-associative `view` (8 payload-inlined slots per 512-byte bucket row,
+  4x slot headroom) resolves a batch of lookups with ONE [N,128]
+  row-gather + lane compares per tier — the per-voxel stats ride in the
+  same gather.  Random gathers are latency-bound per element, not
+  bytes-bound (measured: ~300-700 µs per pass at N=32k regardless of row
+  width, tools/bench_gn.py `gather`), so one wide gather beats narrow
+  key-then-payload gather chains and beats log₂C ≈ 19 binary-search
+  rounds by an order of magnitude.
 * per-voxel payload is ONE [C, 10] f32 array (count, mean/Σp ×3, cov/Σcov
   ×6): row gathers move ~8× more bytes/s than scalar gathers, and merges
   become single variadic sorts (`lax.sort` with the payload as extra
@@ -51,15 +54,22 @@ from eskf_lio_tpu.ops import voxel as vx
 INT32_MAX = sm.INT32_MAX
 
 # Lookup view: a set-associative mirror of the sorted table.  Each bucket
-# holds VIEW_ASSOC (skey, row) pairs interleaved in one 64-byte row, so a
-# whole lookup is ONE [N, 2*VIEW_ASSOC] row-gather + lane compares —
-# 3 gather rounds per tier (incl. payload) instead of ~11 binary-search
-# rounds.  4x slot headroom keeps per-bucket overflow negligible even at
-# full table load (Poisson(2) tail beyond 8: ~1e-4 per bucket); an
-# overflowing entry is dropped from the VIEW only (a missed correspondence,
-# never corruption) — the sorted table stays exact.
+# holds VIEW_ASSOC slots of VIEW_SLOT int32 words — [skey, row,
+# payload(10, f32 bitcast), 4 pad] — in one 512-byte row, so a whole batch
+# lookup is ONE [N, 128] row-gather + lane compares + a lane select: the
+# payload rides in the same gather.  Measured law (tools/bench_gn.py
+# `gather` mode, v5e): random gathers cost ~300-700 µs per pass at N=32k
+# REGARDLESS of row width (latency-bound per element), so fewest gather
+# passes wins and the 512-byte row is free — it is exactly the physical
+# size the old 16-int row already occupied after 128-lane HBM padding.
+# 4x slot headroom keeps per-bucket overflow negligible even at full table
+# load (Poisson(2) tail beyond 8: ~1e-4 per bucket); an overflowing entry
+# is dropped from the VIEW only (a missed correspondence, never
+# corruption) — the sorted table stays exact.
 VIEW_ASSOC = 8
 VIEW_HEADROOM = 4  # total view slots = VIEW_HEADROOM * capacity
+VIEW_SLOT = 16  # int32 words per slot (64-byte aligned)
+_SLOT_PAY = 12  # words actually written per slot: skey, row, payload x10
 
 
 def pack_cov(cov: jnp.ndarray) -> jnp.ndarray:
@@ -111,12 +121,12 @@ class VoxelMap(NamedTuple):
     skey: jnp.ndarray  # [C] int32, INT32_MAX = empty tail
     packed: jnp.ndarray  # [C] int32 spatial packed key (INT32_MAX empty)
     payload: jnp.ndarray  # [C, 10] f32: count, mean(3), cov(6)
-    view: jnp.ndarray  # [2C/8, 16] int32 set-assoc (skey,row)x8 lookup view
+    view: jnp.ndarray  # [C/2, 128] int32 set-assoc payload-inlined view
     # delta tier (raw sums), ascending by skey
     d_skey: jnp.ndarray  # [D] int32
     d_packed: jnp.ndarray  # [D] int32
     d_payload: jnp.ndarray  # [D, 10] f32: count, Σp(3), Σcov(6)
-    d_view: jnp.ndarray  # [2D/8, 16] int32
+    d_view: jnp.ndarray  # [D/2, 128] int32
 
     @property
     def capacity(self) -> int:
@@ -182,16 +192,38 @@ class VoxelMap(NamedTuple):
 
 def _empty_view(capacity: int) -> jnp.ndarray:
     nb = _n_view_buckets(capacity)
-    v = jnp.zeros((nb, 2 * VIEW_ASSOC), jnp.int32)
-    return v.at[:, 0::2].set(INT32_MAX)
+    v = jnp.zeros((nb, VIEW_SLOT * VIEW_ASSOC), jnp.int32)
+    return v.at[:, 0::VIEW_SLOT].set(INT32_MAX)
 
 
-def _build_view(skey_sorted: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Build the set-associative lookup view from an ascending skey array.
+def _slot_values(skey, row, payload):
+    """[E, 12] int32 slot image: skey, row, payload (f32 bitcast)."""
+    return jnp.concatenate(
+        [
+            skey[:, None],
+            row[:, None],
+            jax.lax.bitcast_convert_type(payload, jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def _scatter_slots(view, b, slot, vals):
+    """Write [E, 12] slot images at (bucket b, slot index) in one scatter.
+    Out-of-range b/slot drop the entry (mode=drop)."""
+    cols = slot[:, None] * VIEW_SLOT + jnp.arange(_SLOT_PAY, dtype=jnp.int32)
+    return view.at[b[:, None], cols].set(vals, mode="drop")
+
+
+def _build_view(
+    skey_sorted: jnp.ndarray, payload_sorted: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the payload-inlined set-associative view from an ascending
+    skey array and its row payloads.
 
     bucket(x) = top bits of x's uint32 order, so equal-bucket rows are
     contiguous in the sorted array; rank-in-bucket falls out of a segmented
-    iota (one cummax), and two scatters place (skey, row) into the view.
+    iota (one cummax), and one block scatter places each slot image.
     Entries past VIEW_ASSOC per bucket are dropped from the view only —
     returns (view, n_dropped)."""
     c = skey_sorted.shape[0]
@@ -208,36 +240,42 @@ def _build_view(skey_sorted: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     rank = pos - seg_start
     ok = jnp.logical_and(live, rank < VIEW_ASSOC)
     dropped = jnp.sum(jnp.logical_and(live, ~ok).astype(jnp.int32))
-    col = jnp.where(ok, 2 * rank, 2 * VIEW_ASSOC)  # OOB col -> dropped
-    b = jnp.where(ok, bo, nb)
-    view = _empty_view(c)
-    view = view.at[b, col].set(skey_sorted, mode="drop")
-    view = view.at[b, col + 1].set(pos, mode="drop")
+    b = jnp.where(ok, bo, nb)  # OOB bucket -> dropped
+    view = _scatter_slots(
+        _empty_view(c), b, rank, _slot_values(skey_sorted, pos, payload_sorted)
+    )
     return view, dropped
+
+
+def _view_probe(
+    view: jnp.ndarray, q_skey: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ONE row-gather lookup: returns (payload [N,10] f32, row_idx [N],
+    lane [N], found [N]) per query skey — the payload arrives in the same
+    gather as the keys (no second gather pass)."""
+    nb = view.shape[0]
+    b = sm.bucket_of(q_skey, nb)
+    rows = view[b]  # [N, 128] — a single 512-byte row gather
+    slots = rows.reshape(rows.shape[0], VIEW_ASSOC, VIEW_SLOT)
+    eq = slots[:, :, 0] == q_skey[:, None]
+    found = jnp.logical_and(jnp.any(eq, axis=1), q_skey != INT32_MAX)
+    lane = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    hitslot = jnp.take_along_axis(
+        slots, lane[:, None, None], axis=1
+    )[:, 0, :]  # [N, 16]
+    idx = hitslot[:, 1]
+    payload = jax.lax.bitcast_convert_type(
+        hitslot[:, 2:_SLOT_PAY], jnp.float32
+    )
+    return payload, idx, lane, found
 
 
 def _view_find(
     view: jnp.ndarray, q_skey: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One row-gather lookup: returns (row_idx, found) per query skey."""
-    idx, _, found = _view_find_lane(view, q_skey)
+    """Compatibility probe: returns (row_idx, found) per query skey."""
+    _, idx, _, found = _view_probe(view, q_skey)
     return idx, found
-
-
-def _view_find_lane(
-    view: jnp.ndarray, q_skey: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """`_view_find` that also reports the bucket lane of the match."""
-    nb = view.shape[0]
-    b = sm.bucket_of(q_skey, nb)
-    rows = view[b]  # [N, 16] — a single 64-byte row gather
-    keys8 = rows[:, 0::2]
-    idxs8 = rows[:, 1::2]
-    eq = keys8 == q_skey[:, None]
-    found = jnp.logical_and(jnp.any(eq, axis=1), q_skey != INT32_MAX)
-    lane = jnp.argmax(eq, axis=1)
-    idx = jnp.take_along_axis(idxs8, lane[:, None], axis=1)[:, 0]
-    return idx, lane, found
 
 
 def _combine(c_main, mean_main, cov_main, c_add, psum, csum, cap):
@@ -289,17 +327,20 @@ def lookup_packed(
     *,
     max_points_per_voxel: int = 1000,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """lookup() given precomputed packed keys (see `lookup`)."""
+    """lookup() given precomputed packed keys (see `lookup`).
+
+    TWO gathers total (one per tier): the per-voxel payload is inlined in
+    the view buckets, so no dependent payload gather follows the probe."""
     dtype = vmap.payload.dtype
     skey = sm.skey_of(packed)
 
-    mi, m_hit = _view_find(vmap.view, skey)
+    pay_m_raw, _, _, m_hit = _view_probe(vmap.view, skey)
     m_hit = jnp.logical_and(m_hit, in_range)
-    di, d_hit = _view_find(vmap.d_view, skey)
+    pay_d_raw, _, _, d_hit = _view_probe(vmap.d_view, skey)
     d_hit = jnp.logical_and(d_hit, in_range)
 
-    pay_m = jnp.where(m_hit[:, None], vmap.payload[mi], 0.0)
-    pay_d = jnp.where(d_hit[:, None], vmap.d_payload[di], 0.0)
+    pay_m = jnp.where(m_hit[:, None], pay_m_raw, 0.0)
+    pay_d = jnp.where(d_hit[:, None], pay_d_raw, 0.0)
 
     cap = jnp.asarray(max_points_per_voxel, dtype)
     _, mean, cov = _combine(
@@ -315,34 +356,23 @@ def lookup_packed(
 
 
 class LookupView(NamedTuple):
-    """Read-optimised snapshot of the two-tier map: ONE set-associative view
-    whose row indices span main payload rows [0, C) and finalised delta
-    rows [C, C+D), so a batch lookup is a single bucket row-gather + two
-    independent payload gathers (no per-point running-mean combine and no
-    second bucket probe).  Built once per scan before the GN while-loop —
-    the align loop does `icp_max_iterations` lookups against a map that
-    cannot change mid-align, so the merge cost amortises across iterations
-    (ref re-matches per iteration too, `Registration.cpp:16`).
+    """Read-optimised snapshot of the two-tier map: ONE payload-inlined
+    set-associative view holding the cap-combined (main+delta) stats, so a
+    batch lookup is a SINGLE bucket row-gather — no payload gather, no
+    per-point running-mean combine, no second tier probe.  Built once per
+    scan before the GN while-loop; worthwhile when the loop runs enough
+    iterations to amortise the build (see `Config.merged_lookup`)."""
 
-    Deliberately does NOT copy or extend the [C,10] payload: 10-lane f32
-    rows pad to the 128-lane HBM tile, so one payload copy at C=2^19 moves
-    ~270 MB — measured ~2 ms/scan, more than the per-iteration savings.
-    Merged voxels are handled by REDIRECTING their view slot's row index to
-    the combined delta row instead."""
-
-    view: jnp.ndarray  # [C/2, 16] int32 — row idx < C: main; >= C: delta
-    payload: jnp.ndarray  # [C, 10] the map's main payload (no copy)
-    d_final: jnp.ndarray  # [D, 10] cap-combined (main+delta) stats
+    view: jnp.ndarray  # [C/2, 128] int32 — slots carry combined payloads
 
 
 def build_lookup(
     vmap: VoxelMap, *, max_points_per_voxel: int = 1000
 ) -> tuple[LookupView, jnp.ndarray]:
-    """Fold the delta tier into a single lookup view.
+    """Fold the delta tier into a single payload-inlined lookup view.
 
     * a delta entry whose voxel exists in MAIN gets the cap-combined stats
-      written to d_final[j], and the main view slot's row index redirected
-      to C+j (the skey in the slot is unchanged — one int32 scatter);
+      written over that slot's inline payload (one block scatter);
     * a delta-only entry is scattered into its bucket's free slots
       (occupied slots are always a prefix, so slot = first_free +
       rank-in-bucket);
@@ -351,15 +381,27 @@ def build_lookup(
 
     Returns (LookupView, n_dropped)."""
     cap = jnp.asarray(max_points_per_voxel, vmap.payload.dtype)
-    c_cap = vmap.capacity
     d_cap = vmap.delta_capacity
     d_live = vmap.d_skey != INT32_MAX
     nb = vmap.view.shape[0]
     b = sm.bucket_of(vmap.d_skey, nb)
 
-    mi, lane, found = _view_find_lane(vmap.view, vmap.d_skey)
-    merged = jnp.logical_and(found, d_live)
-    pay_m = jnp.where(merged[:, None], vmap.payload[mi], 0.0)
+    # one bucket gather gives match, lane, inline main payload AND occupancy
+    rows = vmap.view[b]  # [D, 128]
+    slots = rows.reshape(d_cap, VIEW_ASSOC, VIEW_SLOT)
+    eq = slots[:, :, 0] == vmap.d_skey[:, None]
+    found = jnp.logical_and(jnp.any(eq, axis=1), d_live)
+    lane = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    hitslot = jnp.take_along_axis(slots, lane[:, None, None], axis=1)[:, 0, :]
+    pay_m_raw = jax.lax.bitcast_convert_type(
+        hitslot[:, 2:_SLOT_PAY], jnp.float32
+    )
+    first_free = jnp.sum(
+        (slots[:, :, 0] != INT32_MAX).astype(jnp.int32), axis=1
+    )
+
+    merged = found
+    pay_m = jnp.where(merged[:, None], pay_m_raw, 0.0)
     cnt, mean, cov = _combine(
         pay_m[:, 0], pay_m[:, 1:4], pay_m[:, 4:10],
         vmap.d_payload[:, 0], vmap.d_payload[:, 1:4], vmap.d_payload[:, 4:10],
@@ -368,20 +410,11 @@ def build_lookup(
     d_final = jnp.concatenate([cnt[:, None], mean, cov], axis=1)  # [D, 10]
 
     pos = jnp.arange(d_cap, dtype=jnp.int32)
-    # (a) merged entries: redirect the existing slot's row index to C+j
-    col_m = jnp.where(merged, 2 * lane + 1, 2 * VIEW_ASSOC)  # OOB -> drop
-    b_m = jnp.where(merged, b, nb)
-    view = vmap.view.at[b_m, col_m].set(c_cap + pos, mode="drop")
-
-    # (b) delta-only entries -> free view slots.  d_skey ascends and
-    # bucket_of is monotone, so equal-bucket runs are contiguous:
-    # segmented rank via one cummax + one cumsum.
+    # slot index: overwrite the matched slot for merged entries; first free
+    # slot (+ rank among same-bucket new entries) for delta-only ones.
+    # d_skey ascends and bucket_of is monotone, so equal-bucket runs are
+    # contiguous: segmented rank via one cummax + one cumsum.
     new = jnp.logical_and(d_live, ~found)
-    bucket_rows = vmap.view[b]  # [D, 16]
-    keys8 = bucket_rows[:, 0::2]
-    empty8 = keys8 == INT32_MAX
-    first_free = jnp.sum((~empty8).astype(jnp.int32), axis=1)  # prefix-packed
-
     head = jnp.concatenate([jnp.ones((1,), bool), b[1:] != b[:-1]])
     seg_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(head, pos, 0)
@@ -390,16 +423,15 @@ def build_lookup(
     base = (incl - new.astype(jnp.int32))[seg_start]
     rank = incl - 1 - base  # rank among NEW entries of the same bucket
 
-    slot = first_free + rank
-    ok = jnp.logical_and(new, slot < VIEW_ASSOC)
-    dropped = jnp.sum(jnp.logical_and(new, ~ok).astype(jnp.int32))
-    col = jnp.where(ok, 2 * slot, 2 * VIEW_ASSOC)  # OOB col -> dropped
-    bs = jnp.where(ok, b, nb)
-    view = view.at[bs, col].set(vmap.d_skey, mode="drop")
-    view = view.at[bs, col + 1].set(c_cap + pos, mode="drop")
-    return LookupView(
-        view=view, payload=vmap.payload, d_final=d_final
-    ), dropped
+    slot = jnp.where(merged, lane, first_free + rank)
+    ok = jnp.logical_and(d_live, slot < VIEW_ASSOC)
+    dropped = jnp.sum(jnp.logical_and(d_live, ~ok).astype(jnp.int32))
+    bs = jnp.where(ok, b, nb)  # OOB bucket -> dropped
+    row_idx = jnp.where(merged, hitslot[:, 1], vmap.capacity + pos)
+    view = _scatter_slots(
+        vmap.view, bs, slot, _slot_values(vmap.d_skey, row_idx, d_final)
+    )
+    return LookupView(view=view), dropped
 
 
 def lookup_merged(
@@ -409,26 +441,17 @@ def lookup_merged(
     voxel_size: float,
     origin: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-probe correspondence lookup against a `build_lookup` snapshot
-    (ref `correspondenceMatching`, `LocalMap.cpp:78-109`): one bucket
-    row-gather, then two independent (non-dependent) payload gathers
-    selected by tier.
+    """Single-gather correspondence lookup against a `build_lookup`
+    snapshot (ref `correspondenceMatching`, `LocalMap.cpp:78-109`): the
+    bucket row-gather returns the combined payload directly.
 
     Returns (mean [N,3], cov_packed [N,6], hit [N] bool)."""
-    c_cap = lv.payload.shape[0]
     keys = vx.voxel_key(points, voxel_size)
     packed, in_range = sm.pack_keys(keys, origin)
     skey = sm.skey_of(packed)
-    idx, found = _view_find(lv.view, skey)
+    pay_raw, _, _, found = _view_probe(lv.view, skey)
     hit = jnp.logical_and(found, in_range)
-    is_main = idx < c_cap
-    pay_main = lv.payload[jnp.where(is_main, idx, 0)]
-    pay_delta = lv.d_final[jnp.clip(idx - c_cap, 0, lv.d_final.shape[0] - 1)]
-    pay = jnp.where(
-        jnp.logical_and(hit, is_main)[:, None],
-        pay_main,
-        jnp.where(jnp.logical_and(hit, ~is_main)[:, None], pay_delta, 0.0),
-    )
+    pay = jnp.where(hit[:, None], pay_raw, 0.0)
     return pay[:, 1:4], pay[:, 4:10], hit
 
 
@@ -536,7 +559,7 @@ def _compact_into_main(vmap: VoxelMap, dskey, dpacked, dpayload, cap):
     kept = f_skey != INT32_MAX
     n_live = jnp.sum((row_skey != INT32_MAX).astype(jnp.int32))
     overflow = jnp.maximum(n_live - jnp.sum(kept.astype(jnp.int32)), 0)
-    f_view, _ = _build_view(f_skey)
+    f_view, _ = _build_view(f_skey, f_payload)
     return f_skey, f_packed, f_payload, f_view, overflow
 
 
@@ -600,7 +623,7 @@ def insert(
     )
 
     def no_compact(_):
-        d_view, _ = _build_view(dp[:d_cap])
+        d_view, _ = _build_view(dp[:d_cap], dpay[:d_cap])
         return (
             vmap.skey, vmap.packed, vmap.payload, vmap.view,
             dp[:d_cap], dk[:d_cap], dpay[:d_cap], d_view,
@@ -691,7 +714,7 @@ def evict_beyond(
     reskey = sm.skey_of(repacked)
 
     f_skey, f_packed, f_payload = _sort_rows(reskey, repacked, vmap.payload)
-    f_view, _ = _build_view(f_skey)
+    f_view, _ = _build_view(f_skey, f_payload)
     return (
         vmap._replace(
             origin=new_origin,

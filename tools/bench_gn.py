@@ -251,11 +251,11 @@ def profile_lookup(n: int = 32768) -> None:
             skey = sm.skey_of(packed)
             if kind == "keys":
                 return c + jnp.sum(skey[:8].astype(jnp.float32)) * 1e-20, 0.0
-            idx, found = vm._view_find(lv.view, skey)
+            pay_raw, idx, _, found = vm._view_probe(lv.view, skey)
             if kind == "view":
                 return c + jnp.sum(idx[:8].astype(jnp.float32)) * 1e-20, 0.0
             hit = jnp.logical_and(found, in_range)
-            pay = jnp.where(hit[:, None], lv.payload[idx], 0.0)
+            pay = jnp.where(hit[:, None], pay_raw, 0.0)
             return c + pay[0, 1] * 1e-20, 0.0
         return step
 
