@@ -1,15 +1,22 @@
 """Benchmark: full LIO loop throughput on the available accelerator.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+Prints ONE canonical JSON line per completed phase (each line is a
+superset of the previous one, so killing the process at ANY point still
+leaves the most complete parsed metric on stdout):
 
-`value` is the HEAVY series: the shipped `config/hilti.yaml` capacities
-(131072 raw / 32768 downsampled points, hash 2^19) — the workload the
-framework actually configures for Hilti exp21 (Pandar XT-32 class point
-budgets, `BASELINE.md`).  A `light` series (24576/12288, the round-2
-workload) is kept for continuity, and `stages_ms` persists a per-stage
-breakdown (predict / preprocess / align / insert / evict / full step)
-measured at the heavy shapes on a warm map.
+  phase 1  light series  (round-2 continuity workload, 24576/12288)
+  phase 2  heavy series  (shipped config/hilti.yaml capacities,
+                          131072/32768, hash 2^19 — the headline `value`)
+  phase 3  per-stage breakdown at the heavy shapes
+
+Every line carries {"metric", "value", "unit", "vs_baseline"} plus
+whatever phases have completed, a per-phase cold-compile stopwatch
+(`compile_s`), and each series' ATE vs the synthetic ground truth
+(`ate_rmse_cm`) so a perf change can never silently trade accuracy away.
+
+A wall-clock budget (--budget-s N / ESKF_BENCH_BUDGET_S, default 1500 s)
+skips remaining phases when exceeded — a driver timeout can never again
+produce zero parsed output (BENCH_r03 postmortem).
 
 Workload: a Hilti-class synthetic sequence at exp21's sensor rates (10 Hz
 sweeps, 400 Hz IMU, datasheet-level noise+bias), processed by the
@@ -28,6 +35,7 @@ scans/sec / 10 — i.e. vs_baseline >= 5 corresponds to BASELINE.md's >=5x
 target under the conservative assumption the reference runs at real time.
 """
 
+import argparse
 import json
 import os
 import time
@@ -51,6 +59,7 @@ from eskf_lio_tpu.models import eskf, registration
 from eskf_lio_tpu.ops import preprocess
 from eskf_lio_tpu.pipeline import odometry as odo
 from eskf_lio_tpu.pipeline import replay
+from eskf_lio_tpu.utils import metrics
 
 SCAN_RATE_HZ = 10.0  # Hesai Pandar real-time rate on exp21
 
@@ -60,6 +69,12 @@ HEAVY = dict(
 )
 # Round-2 continuity series.
 LIGHT = dict(max_raw_points=24576, max_scan_points=12288, points_per_scan=20000)
+
+_T0 = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
 
 
 def _sync(out) -> None:
@@ -95,8 +110,8 @@ def make_sequence(points_per_scan: int) -> dataset.Sequence:
 
 def run_series(config: Config, seq: dataset.Sequence) -> dict:
     """Timed replay: warmup on the first half, time the same-shaped second
-    half in one dispatch.  Returns throughput stats + a warm (state, voxmap,
-    chunk, scan) probe set for the stage breakdown."""
+    half in one dispatch.  Returns throughput + accuracy stats plus a warm
+    (state, voxmap, chunk, scan) probe set for the stage breakdown."""
     init_scan, chunks, scans, evicts, updates, _ = replay.pack_sequence(
         config, seq
     )
@@ -114,11 +129,13 @@ def run_series(config: Config, seq: dataset.Sequence) -> dict:
     sl = lambda a, s, e: jax.tree.map(lambda x: x[s:e], a)
 
     # warmup (includes compile); also leaves a warm, realistic map
+    t_w = time.perf_counter()
     state, voxmap, prev_R, prev_t, _, ts_w, _ = replay_step(
         state, voxmap, prev_R, prev_t,
         sl(chunks, 0, n), sl(scans, 0, n), evicts[:n], updates[:n],
     )
     _sync(ts_w)
+    compile_s = time.perf_counter() - t_w
     probe = dict(
         state=state, voxmap=voxmap, prev_R=prev_R, prev_t=prev_t,
         chunk=jax.tree.map(lambda x: x[n], chunks),
@@ -133,11 +150,24 @@ def run_series(config: Config, seq: dataset.Sequence) -> dict:
     )
     _sync(ts_b)
     elapsed = time.perf_counter() - t0
+    upd = np.asarray(updates[: 2 * n])
     conv = np.asarray(diags["icp_converged"])[np.asarray(updates[n : 2 * n])]
+
+    # accuracy: ATE of the replayed trajectory vs synthetic ground truth
+    # (the role of the reference's visual check, `README.md:70-73`, made
+    # quantitative so perf work cannot silently trade accuracy away)
+    est = np.concatenate(
+        [np.zeros((1, 3)), np.asarray(ts_w), np.asarray(ts_b)]
+    )[np.concatenate([[True], upd])]
+    gt = np.asarray(seq.gt_positions)[: est.shape[0]]
+    ate_cm = metrics.ate_rmse(est, gt) * 100.0
+
     return {
         "scans_per_sec": round(n / elapsed, 2),
         "timed_scans": int(n),
         "icp_convergence_rate": round(float(conv.mean()), 3),
+        "ate_rmse_cm": round(ate_cm, 2),
+        "compile_s": round(compile_s, 1),
         "_probe": probe,
     }
 
@@ -158,15 +188,17 @@ def _timeit_scanned(make_scanned, k: int) -> float:
     return best / k * 1e3
 
 
-def stage_breakdown(config: Config, probe: dict) -> dict:
+def stage_breakdown(config: Config, probe: dict, budget_left) -> dict:
     """Per-stage ms at the heavy shapes on a warm map (the reference's
     stage report role, `Odometry.cpp:99-109`, but measured per stage on
     device).  Uses the post-warmup state/map so shapes and sparsity are
-    realistic; every stage loops inside one dispatch."""
+    realistic; every stage loops inside one dispatch.  Checks the budget
+    between stages and marks skipped ones."""
     noise = eskf.make_noise_params(config)
     T_il = odo.lidar_extrinsics(config)
     state, voxmap = probe["state"], probe["voxmap"]
     chunk, scan = probe["chunk"], probe["scan"]
+    out: dict = {}
 
     def predict_scanned(k):
         def run():
@@ -175,11 +207,11 @@ def stage_breakdown(config: Config, probe: dict) -> dict:
                     s, chunk, noise, base_mask=chunk.t_rel <= 0.0
                 )
                 return base, base.p[0]
-            _, out = jax.lax.scan(body, state, None, length=k)
-            return out
+            _, o = jax.lax.scan(body, state, None, length=k)
+            return o
         return run
 
-    ms_predict = _timeit_scanned(predict_scanned, 200)
+    out["predict"] = round(_timeit_scanned(predict_scanned, 200), 3)
     base, hist = jax.jit(
         lambda s, c: eskf.predict_chunk_prefix(
             s, c, noise, base_mask=c.t_rel <= 0.0
@@ -192,13 +224,16 @@ def stage_breakdown(config: Config, probe: dict) -> dict:
                 s2 = scan._replace(points=scan.points + c * 1e-9)
                 processed = preprocess.preprocess(s2, hist, T_il, config)
                 return processed.points[0, 0], processed.points[0, 1]
-            _, out = jax.lax.scan(
+            _, o = jax.lax.scan(
                 body, jnp.zeros((), scan.points.dtype), None, length=k
             )
-            return out
+            return o
         return run
 
-    ms_prep = _timeit_scanned(prep_scanned, 30)
+    if budget_left() <= 0:
+        out["skipped_after"] = "predict"
+        return out
+    out["preprocess"] = round(_timeit_scanned(prep_scanned, 30), 3)
     processed = jax.jit(
         lambda s, h: preprocess.preprocess(s, h, T_il, config)
     )(scan, hist)
@@ -213,17 +248,20 @@ def stage_breakdown(config: Config, probe: dict) -> dict:
                 g2 = odo.Pose(guess.R, guess.t + c * 1e-12)
                 res = registration.align(processed, voxmap, g2, config)
                 return res.pose.t[0], res.iterations
-            _, out = jax.lax.scan(
+            _, o = jax.lax.scan(
                 body, jnp.zeros((), jnp.float32), None, length=k
             )
-            return out
+            return o
         return run
 
-    ms_align = _timeit_scanned(align_scanned, 20)
+    if budget_left() <= 0:
+        out["skipped_after"] = "preprocess"
+        return out
+    out["align"] = round(_timeit_scanned(align_scanned, 20), 3)
     res = jax.jit(
         lambda p, m, g: registration.align(p, m, g, config)
     )(processed, voxmap, guess)
-    iters = int(res.iterations)
+    out["align_iters"] = int(res.iterations)
 
     covs_packed = vm.pack_cov(processed.covs)
 
@@ -236,11 +274,14 @@ def stage_breakdown(config: Config, probe: dict) -> dict:
                     max_points_per_voxel=config.max_points_per_voxel,
                 )
                 return m2, dropped
-            _, out = jax.lax.scan(body, voxmap, None, length=k)
-            return out
+            _, o = jax.lax.scan(body, voxmap, None, length=k)
+            return o
         return run
 
-    ms_insert = _timeit_scanned(insert_scanned, 30)
+    if budget_left() <= 0:
+        out["skipped_after"] = "align"
+        return out
+    out["insert"] = round(_timeit_scanned(insert_scanned, 30), 3)
 
     def evict_scanned(k):
         def run():
@@ -252,11 +293,14 @@ def stage_breakdown(config: Config, probe: dict) -> dict:
                     max_points_per_voxel=config.max_points_per_voxel,
                 )
                 return m2, removed
-            _, out = jax.lax.scan(body, voxmap, None, length=k)
-            return out
+            _, o = jax.lax.scan(body, voxmap, None, length=k)
+            return o
         return run
 
-    ms_evict = _timeit_scanned(evict_scanned, 5)
+    if budget_left() <= 0:
+        out["skipped_after"] = "insert"
+        return out
+    out["evict"] = round(_timeit_scanned(evict_scanned, 5), 3)
 
     core = odo.make_step_core(config)
 
@@ -267,68 +311,95 @@ def stage_breakdown(config: Config, probe: dict) -> dict:
                     carry, (chunk, scan, jnp.asarray(False))
                 )
                 return carry2, diag["num_correspondences"]
-            _, out = jax.lax.scan(
+            _, o = jax.lax.scan(
                 body,
                 (state, voxmap, probe["prev_R"], probe["prev_t"]),
                 None, length=k,
             )
-            return out
+            return o
         return run
 
-    ms_full = _timeit_scanned(full_scanned, 30)
-    return {
-        "predict": round(ms_predict, 3),
-        "preprocess": round(ms_prep, 3),
-        "align": round(ms_align, 3),
-        "align_iters": iters,
-        "insert": round(ms_insert, 3),
-        "evict": round(ms_evict, 3),
-        "full_step": round(ms_full, 3),
-    }
+    if budget_left() <= 0:
+        out["skipped_after"] = "evict"
+        return out
+    out["full_step"] = round(_timeit_scanned(full_scanned, 30), 3)
+    return out
+
+
+def emit(result: dict) -> None:
+    """Print the canonical metric line for the current state of knowledge.
+    Later lines are supersets; the last line on stdout is always the most
+    complete."""
+    print(json.dumps(result), flush=True)
 
 
 def main() -> None:
-    if os.environ.get("ESKF_BENCH_ONLY") == "light":
-        light_cfg = make_config(
-            LIGHT["max_raw_points"], LIGHT["max_scan_points"]
-        )
-        light = run_series(light_cfg, make_sequence(LIGHT["points_per_scan"]))
-        light.pop("_probe")
-        print(json.dumps({
-            "metric": "light_only", **light,
-            "gn_backend": light_cfg.gn_backend,
-        }))
-        return
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--budget-s", type=float,
+        default=float(os.environ.get("ESKF_BENCH_BUDGET_S", "1500")),
+        help="wall-clock budget; remaining phases are skipped when exceeded",
+    )
+    args = ap.parse_args()
+    budget_left = lambda: args.budget_s - _elapsed()
 
-    heavy_cfg = make_config(HEAVY["max_raw_points"], HEAVY["max_scan_points"])
-    heavy = run_series(heavy_cfg, make_sequence(HEAVY["points_per_scan"]))
-    stages = stage_breakdown(heavy_cfg, heavy.pop("_probe"))
+    light_only = os.environ.get("ESKF_BENCH_ONLY") == "light"
 
+    # ---- phase 1: light series (continuity datapoint, fastest compile) ----
     light_cfg = make_config(LIGHT["max_raw_points"], LIGHT["max_scan_points"])
     light = run_series(light_cfg, make_sequence(LIGHT["points_per_scan"]))
     light.pop("_probe")
-
+    light.update(
+        max_raw_points=LIGHT["max_raw_points"],
+        max_scan_points=LIGHT["max_scan_points"],
+    )
     result = {
+        # until the heavy series lands, the light number is the headline
         "metric": "lio_scans_per_sec_per_chip",
-        "value": heavy["scans_per_sec"],
+        "value": light["scans_per_sec"],
         "unit": "scans/s",
-        "vs_baseline": round(heavy["scans_per_sec"] / SCAN_RATE_HZ, 2),
-        "workload": {
+        "vs_baseline": round(light["scans_per_sec"] / SCAN_RATE_HZ, 2),
+        "series": "light",
+        "light": light,
+        "gn_backend": light_cfg.gn_backend,
+        "elapsed_s": round(_elapsed(), 1),
+    }
+    emit(result)
+    if light_only:
+        return
+
+    # ---- phase 2: heavy series (shipped capacities — the headline) --------
+    if budget_left() < 60:
+        result["note"] = "budget exhausted before heavy series"
+        emit(result)
+        return
+    heavy_cfg = make_config(HEAVY["max_raw_points"], HEAVY["max_scan_points"])
+    heavy = run_series(heavy_cfg, make_sequence(HEAVY["points_per_scan"]))
+    probe = heavy.pop("_probe")
+    result.update(
+        value=heavy["scans_per_sec"],
+        vs_baseline=round(heavy["scans_per_sec"] / SCAN_RATE_HZ, 2),
+        series="heavy",
+        workload={
             "max_raw_points": HEAVY["max_raw_points"],
             "max_scan_points": HEAVY["max_scan_points"],
             "points_per_scan": HEAVY["points_per_scan"],
             "note": "shipped config/hilti.yaml capacities",
         },
-        "heavy": {k: v for k, v in heavy.items()},
-        "light": {
-            **light,
-            "max_raw_points": LIGHT["max_raw_points"],
-            "max_scan_points": LIGHT["max_scan_points"],
-        },
-        "stages_ms": stages,
-        "gn_backend": heavy_cfg.gn_backend,
-    }
-    print(json.dumps(result))
+        heavy=heavy,
+        gn_backend=heavy_cfg.gn_backend,
+        elapsed_s=round(_elapsed(), 1),
+    )
+    emit(result)
+
+    # ---- phase 3: per-stage breakdown at the heavy shapes -----------------
+    if budget_left() < 60:
+        result["note"] = "budget exhausted before stage breakdown"
+        emit(result)
+        return
+    result["stages_ms"] = stage_breakdown(heavy_cfg, probe, budget_left)
+    result["elapsed_s"] = round(_elapsed(), 1)
+    emit(result)
 
 
 if __name__ == "__main__":

@@ -102,11 +102,11 @@ class Config:
     icp_translation_sq_threshold: float = 1.0e-6
     icp_cosine_threshold: float = 0.9999
     # Normal-equations backend: "auto" | "einsum" (XLA batched matmuls) |
-    # "pallas" (fused VMEM kernel, `ops/gn_pallas.py`).  Measured
-    # head-to-head on one v5e chip at N=32768 (tools/bench_gn.py): pallas
-    # 584 µs vs einsum 1207 µs per GN iteration (2.07x), full align 1.16x —
-    # so "auto" resolves to pallas on TPU, einsum elsewhere (the kernel
-    # would run interpreted off-TPU).
+    # "pallas" (fused VMEM kernel, `ops/gn_pallas.py`).  Measured in-graph
+    # at K=1000 iterations on one v5e chip, N=32768 (README table): pallas
+    # 72 µs vs einsum 643 µs per GN stage (8.9x), full align 1.7x — so
+    # "auto" resolves to pallas on TPU, einsum elsewhere (the kernel would
+    # run interpreted off-TPU).
     gn_backend: str = "auto"
     # Build a merged single-probe lookup view once per scan before the GN
     # loop (`voxel_map.build_lookup`).  Measured on v5e: the ~1.3 ms build

@@ -1,4 +1,4 @@
-"""Device-resident voxel map: a two-tier hash-ordered sorted dictionary (LSM).
+"""Device-resident voxel map: a two-tier hash-ordered LSM dictionary.
 
 TPU-native re-design of the reference `LocalMap`
 (`/root/reference/src/LocalMap.cpp`, `include/ESKF_LIO/LocalMap.hpp`).
@@ -8,37 +8,43 @@ running mean of member points and a running mean of member point
 covariance, not the member scatter — `LocalMap.hpp:84`), capped at
 `max_points_per_voxel` points (`LocalMap.hpp:81`).
 
-Layout — driven by measured TPU primitive costs (see git history for the
-microbenchmarks; all numbers one v5e chip):
+Layout — driven by measured TPU primitive costs (tools/bench_compile.py;
+one v5e chip behind the axon tunnel):
 
-* entries are ordered by `skey = order-preserved bijective 32-bit hash of
-  the packed voxel key` (`ops.sortmerge.skey_of`).  Bijective ⇒ equal skey
-  ⟺ equal voxel; hashing ⇒ skeys are uniformly distributed, so a
-  set-associative `view` (8 payload-inlined slots per 512-byte bucket row,
-  4x slot headroom) resolves a batch of lookups with ONE [N,128]
-  row-gather + lane compares per tier — the per-voxel stats ride in the
-  same gather.  Random gathers are latency-bound per element, not
-  bytes-bound (measured: ~300-700 µs per pass at N=32k regardless of row
-  width, tools/bench_gn.py `gather`), so one wide gather beats narrow
-  key-then-payload gather chains and beats log₂C ≈ 19 binary-search
-  rounds by an order of magnitude.
-* per-voxel payload is ONE [C, 10] f32 array (count, mean/Σp ×3, cov/Σcov
-  ×6): row gathers move ~8× more bytes/s than scalar gathers, and merges
-  become single variadic sorts (`lax.sort` with the payload as extra
-  operands is ~3× cheaper than argsort + fancy-indexing).
-* MAIN tier: capacity C, finalised running stats, rebuilt only on
-  compaction/eviction.  DELTA tier: capacity D ≈ C/8 of *raw sums* — the
-  LSM memtable.  insert = segment-reduce the batch + one [D+N] merge sort
-  (O(N+D) per scan, map-size independent); a `lax.cond` compaction folds
-  the delta into MAIN when it overflows (O(C), amortised).
-* evict — compact + mask + one re-sort (ref `LocalMap.cpp:60-72`), which
-  also re-centres the packing origin so the 1024-voxel span always covers
-  the eviction radius.
+* runtime law: sorts and dense scans stream at full bandwidth (~1.4 ms for
+  32k-590k rows); random gathers/scatters are latency-bound per element
+  (~0.3 ms per 32k rows).  compile law: `lax.sort` costs ~10 s of XLA
+  compile PER OPERAND (nearly independent of N), 2-D-index scatters cost
+  10-34 s, prefix scans scale with N (~25 s at 590k); row gathers/scatters
+  and ALU are ~free.  Every algorithm below therefore uses 2-operand
+  (key, iota) sorts with payload riding on gathers, flat row scatters, and
+  keeps prefix scans off the main-capacity shapes where possible.
+* entries are ordered by `skey = order-preserving bijective 32-bit hash of
+  the packed voxel key` (`ops.sortmerge.skey_of`).  Bijective => equal skey
+  <=> equal voxel (so no `packed` column is stored at all — it is derived
+  by the inverse mixer `ops.sortmerge.packed_of_skey` when needed);
+  hashing => skeys are uniformly distributed, so a set-associative `view`
+  (8 payload-inlined slots per 512-byte bucket row, 4x slot headroom)
+  resolves a batch of lookups with ONE [N,128] row-gather + lane compares
+  per tier — the per-voxel stats ride in the same gather.
+* per-voxel payload is ONE [C, 10] f32 array (count, mean/Σp x3, cov/Σcov
+  x6): row gathers/scatters move whole slots per element of latency.
+* MAIN tier: capacity C, finalised running stats, ascending by skey,
+  rebuilt only on fold/eviction.  DELTA tier: capacity D of *raw sums* in
+  APPEND order — the LSM memtable, indexed exactly by its own `d_view`.
+  insert = segment-reduce the batch, scatter-add into existing delta rows
+  through the view probe (the probe already fetched the old inline sums,
+  so the view payload stays fresh with one extra row scatter), append new
+  voxels to the tail; when an append would overflow, the whole batch +
+  delta folds into MAIN with one merge (O(C), amortised) instead.
+* evict — fold + mask + one re-sort by the re-centred keys (ref
+  `LocalMap.cpp:60-72`); re-centring keeps the 1024-voxel packing span
+  over the eviction radius.
 
 Semantics vs the sequential reference: identical below the point cap; a
-batch crossing the cap contributes proportionally rather than by scan-order
-truncation, and delta sums are capped at read/compaction time rather than
-per batch.
+batch crossing the cap contributes proportionally rather than by
+scan-order truncation (cap applied per merge step, so a saturated voxel
+stops accumulating exactly like `LocalMap.hpp:81`).
 """
 
 from __future__ import annotations
@@ -53,23 +59,21 @@ from eskf_lio_tpu.ops import voxel as vx
 
 INT32_MAX = sm.INT32_MAX
 
-# Lookup view: a set-associative mirror of the sorted table.  Each bucket
+# Lookup view: a set-associative mirror of the dictionary.  Each bucket
 # holds VIEW_ASSOC slots of VIEW_SLOT int32 words — [skey, row,
 # payload(10, f32 bitcast), 4 pad] — in one 512-byte row, so a whole batch
 # lookup is ONE [N, 128] row-gather + lane compares + a lane select: the
-# payload rides in the same gather.  Measured law (tools/bench_gn.py
-# `gather` mode, v5e): random gathers cost ~300-700 µs per pass at N=32k
-# REGARDLESS of row width (latency-bound per element), so fewest gather
-# passes wins and the 512-byte row is free — it is exactly the physical
-# size the old 16-int row already occupied after 128-lane HBM padding.
-# 4x slot headroom keeps per-bucket overflow negligible even at full table
-# load (Poisson(2) tail beyond 8: ~1e-4 per bucket); an overflowing entry
-# is dropped from the VIEW only (a missed correspondence, never
-# corruption) — the sorted table stays exact.
+# payload rides in the same gather (random gathers are latency-bound per
+# element, not bytes-bound, so the wide row is free).  4x slot headroom
+# keeps per-bucket overflow negligible even at full table load (Poisson(2)
+# tail beyond 8: ~1e-4 per bucket); an entry overflowing its bucket is
+# dropped and counted (never misplaced).  HBM cost: the views are 4x
+# capacity x 64 B = 128 MiB at the shipped 2^19 main capacity — the
+# dominant map allocation, budgeted in BASELINE.md.
 VIEW_ASSOC = 8
 VIEW_HEADROOM = 4  # total view slots = VIEW_HEADROOM * capacity
 VIEW_SLOT = 16  # int32 words per slot (64-byte aligned)
-_SLOT_PAY = 12  # words actually written per slot: skey, row, payload x10
+_SLOT_PAY = 12  # words carrying data per slot: skey, row, payload x10
 
 
 def pack_cov(cov: jnp.ndarray) -> jnp.ndarray:
@@ -100,33 +104,19 @@ def _n_view_buckets(capacity: int) -> int:
     return max(capacity * VIEW_HEADROOM // VIEW_ASSOC, 1)
 
 
-def _sort_rows(skey, packed, payload, *extras):
-    """Variadic stable sort by (skey, packed); payload [N,10] rides along.
-    Returns (skey, packed, payload, *extras) sorted."""
-    cols = (
-        (skey, packed)
-        + tuple(payload[:, j] for j in range(payload.shape[1]))
-        + tuple(extras)
-    )
-    out = jax.lax.sort(cols, num_keys=2, is_stable=True)
-    payload_out = jnp.stack(out[2 : 2 + payload.shape[1]], axis=1)
-    return (out[0], out[1], payload_out) + tuple(out[2 + payload.shape[1] :])
-
-
 class VoxelMap(NamedTuple):
-    """Two-tier hash-ordered sorted voxel dictionary."""
+    """Two-tier hash-ordered LSM voxel dictionary."""
 
     origin: jnp.ndarray  # [3] int32 packing origin (voxel coords)
-    # main tier (finalised stats), ascending by skey
-    skey: jnp.ndarray  # [C] int32, INT32_MAX = empty tail
-    packed: jnp.ndarray  # [C] int32 spatial packed key (INT32_MAX empty)
+    # main tier (finalised stats), ascending by skey, INT32_MAX tail
+    skey: jnp.ndarray  # [C] int32
     payload: jnp.ndarray  # [C, 10] f32: count, mean(3), cov(6)
     view: jnp.ndarray  # [C/2, 128] int32 set-assoc payload-inlined view
-    # delta tier (raw sums), ascending by skey
+    # delta tier (raw sums), APPEND order, live rows = [0, d_fill)
     d_skey: jnp.ndarray  # [D] int32
-    d_packed: jnp.ndarray  # [D] int32
     d_payload: jnp.ndarray  # [D, 10] f32: count, Σp(3), Σcov(6)
     d_view: jnp.ndarray  # [D/2, 128] int32
+    d_fill: jnp.ndarray  # [] int32 live delta rows
 
     @property
     def capacity(self) -> int:
@@ -136,7 +126,7 @@ class VoxelMap(NamedTuple):
     def delta_capacity(self) -> int:
         return self.d_skey.shape[0]
 
-    # --- back-compat views (io/export, tests) -----------------------------
+    # --- views (io/export, tests) -----------------------------------------
     @property
     def count(self) -> jnp.ndarray:
         return self.payload[:, 0]
@@ -148,6 +138,11 @@ class VoxelMap(NamedTuple):
     @property
     def cov(self) -> jnp.ndarray:
         return self.payload[:, 4:10]
+
+    @property
+    def packed(self) -> jnp.ndarray:
+        """[C] packed voxel keys, derived from skey by the inverse mixer."""
+        return sm.packed_of_skey(self.skey)
 
     @property
     def keys(self) -> jnp.ndarray:
@@ -164,18 +159,17 @@ class VoxelMap(NamedTuple):
         return VoxelMap(
             origin=jnp.full((3,), -512, jnp.int32),
             skey=jnp.full((capacity,), INT32_MAX, jnp.int32),
-            packed=jnp.full((capacity,), INT32_MAX, jnp.int32),
             payload=jnp.zeros((capacity, 10), dtype),
             view=_empty_view(capacity),
             d_skey=jnp.full((d,), INT32_MAX, jnp.int32),
-            d_packed=jnp.full((d,), INT32_MAX, jnp.int32),
             d_payload=jnp.zeros((d, 10), dtype),
             d_view=_empty_view(d),
+            d_fill=jnp.zeros((), jnp.int32),
         )
 
     def live(self) -> jnp.ndarray:
         """Main-tier liveness mask (delta excluded)."""
-        return self.packed != INT32_MAX
+        return self.skey != INT32_MAX
 
     def num_voxels(self) -> jnp.ndarray:
         """Distinct voxels across both tiers."""
@@ -191,28 +185,43 @@ class VoxelMap(NamedTuple):
 
 
 def _empty_view(capacity: int) -> jnp.ndarray:
+    """All-empty view, built by broadcast (no strided scatter: even the
+    one-off eager compile of a strided `.at[]` costs tens of seconds over
+    the tunnel backend)."""
     nb = _n_view_buckets(capacity)
-    v = jnp.zeros((nb, VIEW_SLOT * VIEW_ASSOC), jnp.int32)
-    return v.at[:, 0::VIEW_SLOT].set(INT32_MAX)
+    slot = jnp.concatenate(
+        [
+            jnp.full((1,), INT32_MAX, jnp.int32),
+            jnp.zeros((VIEW_SLOT - 1,), jnp.int32),
+        ]
+    )
+    return jnp.tile(slot, (nb, VIEW_ASSOC))
 
 
 def _slot_values(skey, row, payload):
-    """[E, 12] int32 slot image: skey, row, payload (f32 bitcast)."""
+    """[E, 16] int32 slot image: skey, row, payload (f32 bitcast), pad."""
+    e = skey.shape[0]
     return jnp.concatenate(
         [
             skey[:, None],
             row[:, None],
             jax.lax.bitcast_convert_type(payload, jnp.int32),
+            jnp.zeros((e, VIEW_SLOT - _SLOT_PAY), jnp.int32),
         ],
         axis=1,
     )
 
 
-def _scatter_slots(view, b, slot, vals):
-    """Write [E, 12] slot images at (bucket b, slot index) in one scatter.
-    Out-of-range b/slot drop the entry (mode=drop)."""
-    cols = slot[:, None] * VIEW_SLOT + jnp.arange(_SLOT_PAY, dtype=jnp.int32)
-    return view.at[b[:, None], cols].set(vals, mode="drop")
+def _scatter_slots(view, b, slot, vals, ok):
+    """Write [E, 16] slot images at (bucket b, slot) as ONE flat row
+    scatter (2-D-index scatters cost 10-34 s of compile and ~10x the
+    runtime on this backend).  Rows with ok=False are dropped."""
+    nb = view.shape[0]
+    flat = jnp.where(ok, b * VIEW_ASSOC + slot, nb * VIEW_ASSOC)
+    out = view.reshape(nb * VIEW_ASSOC, VIEW_SLOT).at[flat].set(
+        vals, mode="drop"
+    )
+    return out.reshape(nb, VIEW_ASSOC * VIEW_SLOT)
 
 
 def _build_view(
@@ -223,7 +232,7 @@ def _build_view(
 
     bucket(x) = top bits of x's uint32 order, so equal-bucket rows are
     contiguous in the sorted array; rank-in-bucket falls out of a segmented
-    iota (one cummax), and one block scatter places each slot image.
+    iota (one cummax), and one flat row scatter places each slot image.
     Entries past VIEW_ASSOC per bucket are dropped from the view only —
     returns (view, n_dropped)."""
     c = skey_sorted.shape[0]
@@ -240,9 +249,8 @@ def _build_view(
     rank = pos - seg_start
     ok = jnp.logical_and(live, rank < VIEW_ASSOC)
     dropped = jnp.sum(jnp.logical_and(live, ~ok).astype(jnp.int32))
-    b = jnp.where(ok, bo, nb)  # OOB bucket -> dropped
     view = _scatter_slots(
-        _empty_view(c), b, rank, _slot_values(skey_sorted, pos, payload_sorted)
+        _empty_view(c), bo, rank, _slot_values(skey_sorted, pos, payload_sorted), ok
     )
     return view, dropped
 
@@ -292,6 +300,17 @@ def _combine(c_main, mean_main, cov_main, c_add, psum, csum, cap):
         ..., None
     ]
     return c_main + cap_add, mean, cov
+
+
+def _combine_raw(old, add, cap):
+    """Capped merge of two [*, 10] RAW-SUM rows (count, Σp, Σcov): scale the
+    incoming sums so the count never exceeds `cap` — the batch form of the
+    reference's `numPoints < maxNumPoints` insertion gate
+    (`LocalMap.hpp:81`): a saturated voxel stops accumulating."""
+    c_old, c_add = old[..., 0], add[..., 0]
+    cap_add = jnp.clip(cap - c_old, 0.0, c_add)
+    scale = jnp.where(c_add > 0, cap_add / jnp.maximum(c_add, 1.0), 0.0)
+    return old + scale[..., None] * add
 
 
 # ---------------------------------------------------------------------------
@@ -372,7 +391,7 @@ def build_lookup(
     """Fold the delta tier into a single payload-inlined lookup view.
 
     * a delta entry whose voxel exists in MAIN gets the cap-combined stats
-      written over that slot's inline payload (one block scatter);
+      written over that slot's inline payload;
     * a delta-only entry is scattered into its bucket's free slots
       (occupied slots are always a prefix, so slot = first_free +
       rank-in-bucket);
@@ -382,14 +401,17 @@ def build_lookup(
     Returns (LookupView, n_dropped)."""
     cap = jnp.asarray(max_points_per_voxel, vmap.payload.dtype)
     d_cap = vmap.delta_capacity
-    d_live = vmap.d_skey != INT32_MAX
+    # the delta is append-ordered; bucket-rank bookkeeping below needs
+    # ascending skey, so sort it first (2-operand sort + one row gather)
+    d_skey, _, d_payload = sm.sort_perm(vmap.d_skey, vmap.d_payload)
+    d_live = d_skey != INT32_MAX
     nb = vmap.view.shape[0]
-    b = sm.bucket_of(vmap.d_skey, nb)
+    b = sm.bucket_of(d_skey, nb)
 
     # one bucket gather gives match, lane, inline main payload AND occupancy
     rows = vmap.view[b]  # [D, 128]
     slots = rows.reshape(d_cap, VIEW_ASSOC, VIEW_SLOT)
-    eq = slots[:, :, 0] == vmap.d_skey[:, None]
+    eq = slots[:, :, 0] == d_skey[:, None]
     found = jnp.logical_and(jnp.any(eq, axis=1), d_live)
     lane = jnp.argmax(eq, axis=1).astype(jnp.int32)
     hitslot = jnp.take_along_axis(slots, lane[:, None, None], axis=1)[:, 0, :]
@@ -404,7 +426,7 @@ def build_lookup(
     pay_m = jnp.where(merged[:, None], pay_m_raw, 0.0)
     cnt, mean, cov = _combine(
         pay_m[:, 0], pay_m[:, 1:4], pay_m[:, 4:10],
-        vmap.d_payload[:, 0], vmap.d_payload[:, 1:4], vmap.d_payload[:, 4:10],
+        d_payload[:, 0], d_payload[:, 1:4], d_payload[:, 4:10],
         cap,
     )
     d_final = jnp.concatenate([cnt[:, None], mean, cov], axis=1)  # [D, 10]
@@ -426,10 +448,9 @@ def build_lookup(
     slot = jnp.where(merged, lane, first_free + rank)
     ok = jnp.logical_and(d_live, slot < VIEW_ASSOC)
     dropped = jnp.sum(jnp.logical_and(d_live, ~ok).astype(jnp.int32))
-    bs = jnp.where(ok, b, nb)  # OOB bucket -> dropped
     row_idx = jnp.where(merged, hitslot[:, 1], vmap.capacity + pos)
     view = _scatter_slots(
-        vmap.view, bs, slot, _slot_values(vmap.d_skey, row_idx, d_final)
+        vmap.view, b, slot, _slot_values(d_skey, row_idx, d_final), ok
     )
     return LookupView(view=view), dropped
 
@@ -456,77 +477,30 @@ def lookup_merged(
 
 
 # ---------------------------------------------------------------------------
-# insert (delta merge + conditional compaction)
+# fold (LSM flush: delta [+ batch] -> main)
 # ---------------------------------------------------------------------------
 
 
-def _merge_delta(vmap: VoxelMap, new_skey, new_packed, new_payload, cap):
-    """Merge new raw-sum entries [N] into the delta tier.
+def _fold_into_main(vmap: VoxelMap, ex_skey, ex_payload, cap):
+    """Merge the main tier with extra raw-sum rows [L] (any order, unique
+    keys, typically delta rows + a batch's new voxels).
 
-    Returns (skey, packed, payload) of length D+N (sorted, duplicates
-    combined under the point cap, dead rows = INT32_MAX) plus the live
-    count.  Sums are capped here as well as at read so a voxel that
-    saturates within one delta epoch stops accumulating, matching the
-    reference's `numPoints < maxNumPoints` gate (`LocalMap.hpp:81`) up to
-    the proportional batch-crossing rule."""
-    p, k, pay = _sort_rows(
-        jnp.concatenate([vmap.d_skey, new_skey]),
-        jnp.concatenate([vmap.d_packed, new_packed]),
-        jnp.concatenate([vmap.d_payload, new_payload]),
-    )
+    One combined 2-operand sort + payload gather; equal-key pairs are
+    adjacent (main keys unique, extra keys unique => runs of length <= 2)
+    and combine under the point cap; a second same-shape sort compacts the
+    surviving rows back to an ascending [C] prefix.
 
-    # duplicates are adjacent (each side is deduped): later row absorbs,
-    # capped — prior sums take precedence (they arrived first; the stable
-    # sort keeps delta rows ahead of equal-keyed new rows)
-    prev_same = jnp.concatenate(
-        [jnp.zeros((1,), bool),
-         jnp.logical_and(p[1:] == p[:-1], k[1:] == k[:-1])]
-    )
-    next_same = jnp.concatenate([prev_same[1:], jnp.zeros((1,), bool)])
-    pay_prev = jnp.where(
-        prev_same[:, None],
-        jnp.concatenate([jnp.zeros((1, 10), pay.dtype), pay[:-1]]),
-        0.0,
-    )
-    c = pay[:, 0]
-    c_prev = pay_prev[:, 0]
-    cap_add = jnp.clip(cap - c_prev, 0.0, c)
-    scale = jnp.where(c > 0, cap_add / jnp.maximum(c, 1.0), 0.0)
-    pay_out = jnp.concatenate(
-        [
-            (c_prev + cap_add)[:, None],
-            pay_prev[:, 1:] + scale[:, None] * pay[:, 1:],
-        ],
-        axis=1,
-    )
-    # first row of a duplicate pair dies
-    p_out = jnp.where(next_same, INT32_MAX, p)
-    k_out = jnp.where(next_same, INT32_MAX, k)
-    live = jnp.sum((p_out != INT32_MAX).astype(jnp.int32))
-    # recompact: live ascending, dead/empty at the end
-    p_f, k_f, pay_f = _sort_rows(p_out, k_out, pay_out)
-    return p_f, k_f, pay_f, live
-
-
-def _compact_into_main(vmap: VoxelMap, dskey, dpacked, dpayload, cap):
-    """LSM flush: fold raw-sum entries [L] into the main tier.
-    Returns (skey [C], packed [C], payload [C,10], view, overflow)."""
+    Returns (skey [C], payload [C,10], view, overflow)."""
     c_cap = vmap.capacity
-    l = dskey.shape[0]
-    is_old = jnp.concatenate(
-        [jnp.ones((c_cap,), jnp.int32), jnp.zeros((l,), jnp.int32)]
+
+    p, perm, pay = sm.sort_perm(
+        jnp.concatenate([vmap.skey, ex_skey]),
+        jnp.concatenate([vmap.payload, ex_payload]),
     )
-    p, k, pay, old_i = _sort_rows(
-        jnp.concatenate([vmap.skey, dskey]),
-        jnp.concatenate([vmap.packed, dpacked]),
-        jnp.concatenate([vmap.payload, dpayload]),
-        is_old,
-    )
-    old = old_i.astype(bool)
+    old = perm < c_cap
 
     prev_same = jnp.concatenate(
-        [jnp.zeros((1,), bool),
-         jnp.logical_and(p[1:] == p[:-1], k[1:] == k[:-1])]
+        [jnp.zeros((1,), bool), p[1:] == p[:-1]]
     )
     prev_old = jnp.concatenate([jnp.zeros((1,), bool), old[:-1]])
     pay_prev = jnp.concatenate([jnp.zeros((1, 10), pay.dtype), pay[:-1]])
@@ -545,22 +519,34 @@ def _compact_into_main(vmap: VoxelMap, dskey, dpacked, dpayload, cap):
     dead = jnp.logical_and(old, next_absorbs)
     keep_row = jnp.logical_and(p != INT32_MAX, ~dead)
     row_skey = jnp.where(keep_row, p, INT32_MAX)
-    row_packed = jnp.where(keep_row, k, INT32_MAX)
     row_payload = jnp.where(
         is_new[:, None],
         jnp.concatenate([out_cnt[:, None], out_mean, out_cov], axis=1),
         pay,
     )
 
-    f_skey, f_packed, f_payload = _sort_rows(row_skey, row_packed, row_payload)
-    f_skey, f_packed, f_payload = (
-        f_skey[:c_cap], f_packed[:c_cap], f_payload[:c_cap]
-    )
+    f_skey, _, f_payload = sm.sort_perm(row_skey, row_payload)
+    f_skey, f_payload = f_skey[:c_cap], f_payload[:c_cap]
     kept = f_skey != INT32_MAX
     n_live = jnp.sum((row_skey != INT32_MAX).astype(jnp.int32))
     overflow = jnp.maximum(n_live - jnp.sum(kept.astype(jnp.int32)), 0)
     f_view, _ = _build_view(f_skey, f_payload)
-    return f_skey, f_packed, f_payload, f_view, overflow
+    return f_skey, f_payload, f_view, overflow
+
+
+def _empty_delta(vmap: VoxelMap):
+    d_cap = vmap.delta_capacity
+    return (
+        jnp.full((d_cap,), INT32_MAX, jnp.int32),
+        jnp.zeros((d_cap, 10), vmap.payload.dtype),
+        _empty_view(d_cap),
+        jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# insert
+# ---------------------------------------------------------------------------
 
 
 def insert(
@@ -575,9 +561,21 @@ def insert(
     """Insert a batch of world-frame points + packed covariances.
 
     Replaces the sequential per-point insert loop (`LocalMap.cpp:47-58`):
-    segment-reduce the batch per voxel, merge the raw sums into the DELTA
-    tier (O(N+D) — map-size independent), compacting into MAIN only when
-    the delta overflows.  Returns (new_map, num_dropped)."""
+
+    1. ONE (skey, iota) sort groups the batch; per-voxel raw sums come
+       from a segment reduction, compacted to unique ascending entries.
+    2. ONE `d_view` bucket gather resolves each unique voxel against the
+       delta tier: hits scatter-add into their delta rows (the probe
+       already fetched the old inline sums, so the view payload is
+       refreshed by the same row scatter); misses append to the delta
+       tail and claim free view slots.
+    3. If the appends would overflow the delta, the delta AND the batch's
+       new voxels fold into MAIN together (O(C), amortised) and the delta
+       resets — so a batch with more new voxels than the delta capacity
+       never drops data (ref grows unboundedly, `LocalMap.cpp:47-58`).
+
+    Returns (new_map, num_dropped): dropped = out-of-span points +
+    main-capacity overflow + view-bucket overflow (~1e-4)."""
     dtype = points.dtype
     n = points.shape[0]
     d_cap = vmap.delta_capacity
@@ -590,7 +588,6 @@ def insert(
         jnp.logical_and(valid, ~in_range).astype(jnp.int32)
     )
     skey = sm.skey_of(jnp.where(ok, packed, INT32_MAX))
-    packed = jnp.where(ok, packed, INT32_MAX)
 
     raw = jnp.concatenate(
         [
@@ -600,58 +597,106 @@ def insert(
         ],
         axis=1,
     )  # [N, 10] per-point raw contribution
-    skey_s, packed_s, raw_s = _sort_rows(skey, packed, raw)
+
+    # 1. group by voxel: one 2-operand sort, payload rides on the gather
+    skey_s, _, raw_s = sm.sort_perm(skey, raw)
     ok_s = skey_s != INT32_MAX
-
-    head, seg_id = sm.unique_segments2(skey_s, packed_s, ok_s)
-    seg_pay = jax.ops.segment_sum(raw_s, seg_id, num_segments=n)
-
-    # compact segment heads to the front (ascending skey preserved, since
-    # head positions ascend with skey in the sorted batch)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    hkey = jnp.where(head, pos, INT32_MAX)
-    h_sorted, new_skey, new_packed, comp = jax.lax.sort(
-        (hkey, skey_s, packed_s, pos), num_keys=1, is_stable=True
+    head, seg_id = sm.unique_segments(skey_s, ok_s)
+    u_pay = jax.ops.segment_sum(raw_s, seg_id, num_segments=n)  # [N, 10]
+    # unique voxels, ascending skey, compacted to the front: head rows land
+    # at their segment id (monotone in the sorted order) — no second sort
+    hpos = jnp.where(head, seg_id, n)
+    u_skey = jnp.full((n,), INT32_MAX, jnp.int32).at[hpos].set(
+        skey_s, mode="drop"
     )
-    is_head = h_sorted != INT32_MAX
-    new_payload = jnp.where(is_head[:, None], seg_pay[seg_id[comp]], 0.0)
-    new_packed = jnp.where(is_head, new_packed, INT32_MAX)
-    new_skey = jnp.where(is_head, new_skey, INT32_MAX)
+    u_live = u_skey != INT32_MAX
 
-    dp, dk, dpay, d_live = _merge_delta(
-        vmap, new_skey, new_packed, new_payload, cap
+    # 2. one bucket gather resolves every unique voxel against the delta
+    nb_d = vmap.d_view.shape[0]
+    b = sm.bucket_of(u_skey, nb_d)
+    rows = vmap.d_view[b]
+    slots = rows.reshape(n, VIEW_ASSOC, VIEW_SLOT)
+    eq = slots[:, :, 0] == u_skey[:, None]
+    found = jnp.logical_and(jnp.any(eq, axis=1), u_live)
+    lane = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    hitslot = jnp.take_along_axis(slots, lane[:, None, None], axis=1)[:, 0, :]
+    d_row = hitslot[:, 1]
+    old_sum = jax.lax.bitcast_convert_type(hitslot[:, 2:_SLOT_PAY], jnp.float32)
+    first_free = jnp.sum(
+        (slots[:, :, 0] != INT32_MAX).astype(jnp.int32), axis=1
     )
 
-    def no_compact(_):
-        d_view, _ = _build_view(dp[:d_cap], dpay[:d_cap])
-        return (
-            vmap.skey, vmap.packed, vmap.payload, vmap.view,
-            dp[:d_cap], dk[:d_cap], dpay[:d_cap], d_view,
-            jnp.asarray(0, jnp.int32),
-        )
+    # capped raw-sum merge for hits (a saturated voxel stops accumulating)
+    new_sum = jnp.where(
+        found[:, None], _combine_raw(old_sum, u_pay, cap), u_pay
+    )
+    d_payload = vmap.d_payload.at[
+        jnp.where(found, d_row, d_cap)
+    ].set(jnp.where(found[:, None], new_sum, 0.0), mode="drop")
 
-    def compact_now(_):
-        m_skey, m_packed, m_payload, m_view, overflow = _compact_into_main(
-            vmap, dp, dk, dpay, cap
+    miss = jnp.logical_and(u_live, ~found)
+    n_miss = jnp.sum(miss.astype(jnp.int32))
+    would_overflow = vmap.d_fill + n_miss > d_cap
+
+    def fold_branch(_):
+        ex_skey = jnp.where(miss, u_skey, INT32_MAX)
+        ex_pay = jnp.where(miss[:, None], u_pay, 0.0)
+        m_skey, m_payload, m_view, overflow = _fold_into_main(
+            vmap,
+            jnp.concatenate([vmap.d_skey, ex_skey]),
+            jnp.concatenate([d_payload, ex_pay]),
+            cap,
+        )
+        return (m_skey, m_payload, m_view) + _empty_delta(vmap) + (overflow,)
+
+    def append_branch(_):
+        # segmented rank of misses within their (contiguous) bucket runs
+        pos = jnp.arange(n, dtype=jnp.int32)
+        bhead = jnp.concatenate([jnp.ones((1,), bool), b[1:] != b[:-1]])
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(bhead, pos, 0)
+        )
+        miss_i = miss.astype(jnp.int32)
+        incl = jnp.cumsum(miss_i)
+        base = (incl - miss_i)[seg_start]
+        rank = incl - 1 - base  # rank among misses of the same bucket
+        slot = first_free + rank
+        acc = jnp.logical_and(miss, slot < VIEW_ASSOC)
+        acc_i = acc.astype(jnp.int32)
+        row = vmap.d_fill + jnp.cumsum(acc_i) - 1  # < d_cap by branch guard
+        view_drop = jnp.sum(jnp.logical_and(miss, ~acc).astype(jnp.int32))
+
+        d_skey = vmap.d_skey.at[jnp.where(acc, row, d_cap)].set(
+            u_skey, mode="drop"
+        )
+        d_pay2 = d_payload.at[jnp.where(acc, row, d_cap)].set(
+            u_pay, mode="drop"
+        )
+        # ONE slot scatter refreshes hit payloads and claims miss slots
+        upd = jnp.logical_or(found, acc)
+        d_view = _scatter_slots(
+            vmap.d_view,
+            b,
+            jnp.where(found, lane, slot),
+            _slot_values(u_skey, jnp.where(found, d_row, row), new_sum),
+            upd,
         )
         return (
-            m_skey, m_packed, m_payload, m_view,
-            jnp.full((d_cap,), INT32_MAX, jnp.int32),
-            jnp.full((d_cap,), INT32_MAX, jnp.int32),
-            jnp.zeros((d_cap, 10), dtype),
-            _empty_view(d_cap),
-            overflow,
+            vmap.skey, vmap.payload, vmap.view,
+            d_skey, d_pay2, d_view,
+            vmap.d_fill + jnp.sum(acc_i),
+            view_drop,
         )
 
     (
-        m_skey, m_packed, m_payload, m_view,
-        o_dp, o_dk, o_dpay, o_dview, overflow,
-    ) = jax.lax.cond(d_live <= d_cap, no_compact, compact_now, None)
+        m_skey, m_payload, m_view,
+        o_dskey, o_dpay, o_dview, o_dfill, overflow,
+    ) = jax.lax.cond(would_overflow, fold_branch, append_branch, None)
 
     new_map = VoxelMap(
         origin=vmap.origin,
-        skey=m_skey, packed=m_packed, payload=m_payload, view=m_view,
-        d_skey=o_dp, d_packed=o_dk, d_payload=o_dpay, d_view=o_dview,
+        skey=m_skey, payload=m_payload, view=m_view,
+        d_skey=o_dskey, d_payload=o_dpay, d_view=o_dview, d_fill=o_dfill,
     )
     return new_map, dropped_range + overflow
 
@@ -666,19 +711,15 @@ def compact(
 ) -> tuple[VoxelMap, jnp.ndarray]:
     """Force the LSM flush (delta -> main).  Used before export/eviction."""
     cap = jnp.asarray(max_points_per_voxel, vmap.payload.dtype)
-    m_skey, m_packed, m_payload, m_view, overflow = _compact_into_main(
-        vmap, vmap.d_skey, vmap.d_packed, vmap.d_payload, cap
+    m_skey, m_payload, m_view, overflow = _fold_into_main(
+        vmap, vmap.d_skey, vmap.d_payload, cap
     )
-    d_cap = vmap.delta_capacity
-    dtype = vmap.payload.dtype
+    d_skey, d_payload, d_view, d_fill = _empty_delta(vmap)
     return (
         VoxelMap(
             origin=vmap.origin,
-            skey=m_skey, packed=m_packed, payload=m_payload, view=m_view,
-            d_skey=jnp.full((d_cap,), INT32_MAX, jnp.int32),
-            d_packed=jnp.full((d_cap,), INT32_MAX, jnp.int32),
-            d_payload=jnp.zeros((d_cap, 10), dtype),
-            d_view=_empty_view(d_cap),
+            skey=m_skey, payload=m_payload, view=m_view,
+            d_skey=d_skey, d_payload=d_payload, d_view=d_view, d_fill=d_fill,
         ),
         overflow,
     )
@@ -699,7 +740,7 @@ def evict_beyond(
     Returns (new_map, num_removed)."""
     vmap, _ = compact(vmap, max_points_per_voxel=max_points_per_voxel)
     live = vmap.live()
-    keys = sm.unpack_keys(vmap.packed, vmap.origin)
+    keys = sm.unpack_keys(sm.packed_of_skey(vmap.skey), vmap.origin)
     centers = (keys.astype(vmap.payload.dtype) + 0.5) * voxel_size
     dist = jnp.linalg.norm(centers - center, axis=-1)
     survive = jnp.logical_and(live, dist <= distance_threshold)
@@ -710,16 +751,14 @@ def evict_beyond(
     new_origin = vx.voxel_key(center, voxel_size) - 512
     repacked, in_range = sm.pack_keys(keys, new_origin)
     keep = jnp.logical_and(survive, in_range)
-    repacked = jnp.where(keep, repacked, INT32_MAX)
-    reskey = sm.skey_of(repacked)
+    reskey = sm.skey_of(jnp.where(keep, repacked, INT32_MAX))
 
-    f_skey, f_packed, f_payload = _sort_rows(reskey, repacked, vmap.payload)
+    f_skey, _, f_payload = sm.sort_perm(reskey, vmap.payload)
     f_view, _ = _build_view(f_skey, f_payload)
     return (
         vmap._replace(
             origin=new_origin,
             skey=f_skey,
-            packed=f_packed,
             payload=f_payload,
             view=f_view,
         ),

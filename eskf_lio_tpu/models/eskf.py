@@ -142,6 +142,17 @@ def predict_chunk(
 ) -> tuple[FilterState, StateHistory]:
     """Propagate through a whole ImuChunk with `lax.scan`; returns the final
     state and the pose history (initial state at index 0) for deskew."""
+    final, hist, _ = predict_chunk_full(state, chunk, noise)
+    return final, hist
+
+
+def predict_chunk_full(
+    state: FilterState, chunk: ImuChunk, noise: NoiseParams
+):
+    """`predict_chunk` that additionally returns the FULL per-sample state
+    trajectory (p, q, P, v, ba, bg, g — each [M+1, ...] with the initial
+    state at index 0).  Test/oracle plumbing: the f64-oracle suites compare
+    every intermediate covariance, which the production path never needs."""
 
     def body(s: FilterState, x):
         dt, t_rel, gyro, accel, valid = x

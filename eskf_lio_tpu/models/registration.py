@@ -191,6 +191,11 @@ def align(
         # XLA"): the fused kernel wins on TPU; einsum elsewhere (the
         # kernel would run interpreted off-TPU)
         backend = "pallas" if jax.default_backend() == "tpu" else "einsum"
+    if backend not in ("einsum", "pallas"):
+        raise ValueError(
+            f"gn_backend must be 'auto', 'einsum' or 'pallas', got "
+            f"{config.gn_backend!r}"
+        )
 
     covs = scan.covs
     covs_packed = vm.pack_cov(covs)  # loop-invariant (body frame)

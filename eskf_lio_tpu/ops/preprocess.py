@@ -215,12 +215,15 @@ def downsample_and_covariances(
     centers = (keys.astype(dtype) + 0.5) * vs
     q = jnp.where(ok[:, None], points - centers, 0.0)
 
+    # every sort in this pipeline is a 2-operand (key, iota) sort with the
+    # payload riding on ONE row gather: lax.sort costs ~10 s of XLA compile
+    # PER OPERAND on this backend (tools/bench_compile.py), so the old
+    # 12-15-operand variadic sorts were a cold-compile bomb; gathers compile
+    # free and cost ~0.3 ms per 32k rows warm.
     packed_m = jnp.where(ok, packed, sm.INT32_MAX)
-    packed_s, qx_s, qy_s, qz_s = jax.lax.sort(
-        (packed_m, q[:, 0], q[:, 1], q[:, 2]), num_keys=1, is_stable=True
-    )
+    packed_s, _, q_s = sm.sort_perm(packed_m, q)
     ok_s = packed_s != sm.INT32_MAX
-    q_s = jnp.stack([qx_s, qy_s, qz_s], axis=1)
+    qx_s, qy_s, qz_s = q_s[:, 0], q_s[:, 1], q_s[:, 2]
 
     head, seg_id = sm.unique_segments(packed_s, ok_s)
     w = ok_s.astype(dtype)
@@ -261,37 +264,25 @@ def downsample_and_covariances(
         # and skip the restore re-sort below
         pos = jnp.arange(n, dtype=jnp.int32)
         hkey = jnp.where(head, pos, sm.INT32_MAX)
-    sorted_cols = jax.lax.sort(
-        (hkey, packed_s, qx_s, qy_s, qz_s)
-        + tuple(table_m[:, j] for j in range(10)),
-        num_keys=1,
-        is_stable=True,
-    )
+    qm = jnp.concatenate([q_s, table_m], axis=1)  # [N, 13] ride-along rows
+    h_sorted, _, hp_sorted, qm_sorted = sm.sort_perm(hkey, packed_s, qm)
     # slice the voxel table to the output budget before the neighbourhood
     # passes.  (Dropped voxels neither survive downsampling nor contribute
     # to their neighbours' moments — the documented overflow path.)
-    h_sorted = sorted_cols[0][:kcap]
+    h_sorted = h_sorted[:kcap]
     t_live = h_sorted != sm.INT32_MAX
-    t_packed = jnp.where(t_live, sorted_cols[1][:kcap], sm.INT32_MAX)
-    t_q = jnp.stack([c[:kcap] for c in sorted_cols[2:5]], axis=1)
-    t_m = jnp.where(
-        t_live[:, None],
-        jnp.stack([c[:kcap] for c in sorted_cols[5:15]], axis=1),
-        0.0,
-    )
+    t_packed = jnp.where(t_live, hp_sorted[:kcap], sm.INT32_MAX)
+    t_q = qm_sorted[:kcap, :3]
+    t_m = jnp.where(t_live[:, None], qm_sorted[:kcap, 3:13], 0.0)
     if k_out < n:
         # restore ascending packed order (the separable passes and the
         # map-merge path both require it)
-        cols = jax.lax.sort(
-            (t_packed,)
-            + tuple(t_q[:, j] for j in range(3))
-            + tuple(t_m[:, j] for j in range(10)),
-            num_keys=1,
+        t_packed, _, t_qm = sm.sort_perm(
+            t_packed, jnp.concatenate([t_q, t_m], axis=1)
         )
-        t_packed = cols[0]
         t_live = t_packed != sm.INT32_MAX
-        t_q = jnp.stack(cols[1:4], axis=1)
-        t_m = jnp.stack(cols[4:14], axis=1)
+        t_q = t_qm[:, :3]
+        t_m = t_qm[:, 3:13]
 
     # ---- separable 3x3x3 neighbourhood aggregation ------------------------
     # z-pass in natural (x|y|z) order, then re-sort so y / x become the
@@ -302,25 +293,19 @@ def downsample_and_covariances(
 
     m_z = _axis_pass(t_packed, t_m, ez)
 
+    # the rotated keys are bijective repacks of t_packed, so one key
+    # operand suffices (equal rkey <=> equal voxel; dead rows stay
+    # INT32_MAX) and the partner packed key rides on the gather
     ky = _rotate_key(t_packed, 1)
-    cols = jax.lax.sort(
-        (ky, t_packed) + tuple(m_z[:, j] for j in range(10)), num_keys=1
-    )
-    m_y = _axis_pass(cols[0], jnp.stack(cols[2:12], axis=1), ey)
-    packed_y = cols[1]
+    ky_s, _, packed_y, m_zs = sm.sort_perm(ky, t_packed, m_z)
+    m_y = _axis_pass(ky_s, m_zs, ey)
 
     kx = _rotate_key(packed_y, 0)
-    cols = jax.lax.sort(
-        (kx, packed_y) + tuple(m_y[:, j] for j in range(10)), num_keys=1
-    )
-    m_x = _axis_pass(cols[0], jnp.stack(cols[2:12], axis=1), ex)
-    packed_x = cols[1]
+    kx_s, _, packed_x, m_ys = sm.sort_perm(kx, packed_y, m_y)
+    m_x = _axis_pass(kx_s, m_ys, ex)
 
     # back to ascending packed (= head-compacted) order
-    cols = jax.lax.sort(
-        (packed_x,) + tuple(m_x[:, j] for j in range(10)), num_keys=1
-    )
-    nb = jnp.stack(cols[1:11], axis=1)  # [N, 10] 27-neighbourhood moments
+    _, _, nb = sm.sort_perm(packed_x, m_x)  # [N, 10] 27-nbhd moments
 
     # rows 0..K-1 of `nb` correspond 1:1 to rows of (t_packed, t_q): both
     # are the live voxels in ascending packed order (keys unique)

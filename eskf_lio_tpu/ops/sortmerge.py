@@ -7,9 +7,10 @@ sort/merge over arrays instead of pointer- or probe-chasing:
 
 * `pack_keys` — 3D voxel coords packed into ONE int32 relative to a local
   origin (10 bits per axis).  Neighbour offsets become constant adds.
-* `merge_join` — values for query keys against a key-sorted table, built
-  from one combined sort + a cummax carry: zero random access except the
-  final payload gather.
+* `sort_perm` — the ONE sanctioned sort shape: a stable 2-operand
+  (key, iota) `lax.sort` with every payload column riding on a row gather
+  of the permutation, because this backend's XLA compile time is ~10 s per
+  sort operand (tools/bench_compile.py) while gathers compile for free.
 
 These primitives power the preprocessor's transient per-scan voxel
 aggregation and the sorted `VoxelMap` (see `map/voxel_map.py`), replacing
@@ -73,6 +74,18 @@ def mix32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def unmix32(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact inverse of `mix32` (modular inverses of the odd multipliers,
+    self-inverse xor-shift chains).  uint32 -> uint32."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x43021123)  # 0x846CA68B^-1 mod 2^32
+    x = x ^ (x >> 15) ^ (x >> 30)
+    x = x * jnp.uint32(0x1D69E2A5)  # 0x7FEB352D^-1 mod 2^32
+    x = x ^ (x >> 16)
+    return x
+
+
 def skey_of(packed: jnp.ndarray) -> jnp.ndarray:
     """Hash sort key of a packed voxel key: int32 whose ascending order is
     the uint32 order of mix32(packed).  INT32_MAX passes through as the
@@ -82,6 +95,33 @@ def skey_of(packed: jnp.ndarray) -> jnp.ndarray:
     s = jax.lax.bitcast_convert_type(h, jnp.int32)
     s = jnp.where(s == INT32_MAX, INT32_MAX - 1, s)
     return jnp.where(packed == INT32_MAX, INT32_MAX, s)
+
+
+def packed_of_skey(skey: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `skey_of`: recover the packed voxel key from its hash sort
+    key via `unmix32` — free ALU instead of storing (and sorting/gathering)
+    a parallel `packed` column.  Exact except for `skey_of`'s documented
+    INT32_MAX-1 remap (the same 2^-32 caveat)."""
+    h = jax.lax.bitcast_convert_type(skey, jnp.uint32) ^ jnp.uint32(0x80000000)
+    p = jax.lax.bitcast_convert_type(unmix32(h), jnp.int32)
+    return jnp.where(skey == INT32_MAX, INT32_MAX, p)
+
+
+def sort_perm(skey: jnp.ndarray, *rows: jnp.ndarray):
+    """Stable ascending sort by `skey` as a TWO-operand `lax.sort`
+    (key, iota); every extra array rides via one row gather on the
+    permutation.
+
+    Compile-cost law on this TPU backend (measured, tools/bench_compile.py):
+    `lax.sort` costs ~10 s of XLA compile PER OPERAND nearly independent of
+    N, so threading payload columns through the sort is a compile bomb
+    (13 operands ~ 2 minutes per instance), while gathers compile in <1 s
+    and run at ~0.3 ms per 32k rows.  Sort runtime is ~1.4 ms at 32k-590k
+    rows either way."""
+    n = skey.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    skey_s, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
+    return (skey_s, perm) + tuple(r[perm] for r in rows)
 
 
 def bucket_of(skey: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
@@ -105,71 +145,6 @@ def neighbor_offsets_packed() -> jnp.ndarray:
             for dz in (-1, 0, 1):
                 offs.append((dx << (2 * _BITS)) + (dy << _BITS) + dz)
     return jnp.asarray(offs, jnp.int32)
-
-
-def merge_join(
-    table_keys_sorted: jnp.ndarray,
-    query_keys: jnp.ndarray,
-    query_valid: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """For each query key, the index of its entry in a sorted table.
-
-    Args:
-      table_keys_sorted: [C] int32, ascending, INT32_MAX = empty tail.
-      query_keys: [Q] int32 (INT32_MAX treated as invalid).
-      query_valid: [Q] bool.
-
-    Returns (idx [Q] int32 into the table, hit [Q] bool).
-
-    One combined sort + cummax carry: concatenate table and queries, sort
-    (stable, table entries first at equal keys), carry the last-seen table
-    row index forward, scatter results back to query order.  No binary
-    search, no probe loops — two sorts and dense scans.
-    """
-    c = table_keys_sorted.shape[0]
-    q = query_keys.shape[0]
-    qk = jnp.where(query_valid, query_keys, INT32_MAX)
-
-    combined = jnp.concatenate([table_keys_sorted, qk])
-    # stable argsort keeps table entries (indices < c) ahead of equal-keyed
-    # queries, so the cummax carry sees the table entry first
-    order = jnp.argsort(combined, stable=True)
-    sorted_keys = combined[order]
-    is_table = order < c
-    table_row = jnp.where(is_table, order, -1)
-    carried = jax.lax.associative_scan(jnp.maximum, table_row)
-    carried_key = table_keys_sorted[jnp.maximum(carried, 0)]
-    ok = jnp.logical_and(carried >= 0, carried_key == sorted_keys)
-
-    # scatter back to original query positions
-    qpos = jnp.where(is_table, q, order - c)  # OOB drop for table rows
-    idx_out = jnp.zeros((q,), jnp.int32).at[qpos].set(
-        jnp.maximum(carried, 0).astype(jnp.int32), mode="drop"
-    )
-    hit_out = jnp.zeros((q,), bool).at[qpos].set(ok, mode="drop")
-    hit_out = jnp.logical_and(hit_out, jnp.logical_and(query_valid, qk != INT32_MAX))
-    return idx_out, hit_out
-
-
-def unique_segments2(
-    sorted_a: jnp.ndarray, sorted_b: jnp.ndarray, valid_sorted: jnp.ndarray
-):
-    """`unique_segments` over a (primary, secondary) key pair — used when the
-    primary is a hash skey whose one documented sentinel remap could alias
-    two distinct packed keys."""
-    n = sorted_a.shape[0]
-    same = jnp.concatenate(
-        [
-            jnp.zeros((1,), bool),
-            jnp.logical_and(
-                sorted_a[1:] == sorted_a[:-1], sorted_b[1:] == sorted_b[:-1]
-            ),
-        ]
-    )
-    head = jnp.logical_and(valid_sorted, ~same)
-    seg_id = jnp.cumsum(head.astype(jnp.int32)) - 1
-    seg_id = jnp.where(valid_sorted, jnp.maximum(seg_id, 0), n - 1)
-    return head, seg_id
 
 
 def unique_segments(sorted_keys: jnp.ndarray, valid_sorted: jnp.ndarray):

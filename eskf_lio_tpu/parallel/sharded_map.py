@@ -46,9 +46,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from eskf_lio_tpu.config import Config
 from eskf_lio_tpu.map import voxel_map as vm
 from eskf_lio_tpu.models import eskf, registration
-from eskf_lio_tpu.ops import preprocess, voxel as vx
+from eskf_lio_tpu.ops import preprocess, sortmerge as sm, voxel as vx
 from eskf_lio_tpu.pipeline import odometry as odo
 from eskf_lio_tpu.types import FilterState, ImuChunk, Pose, ProcessedScan, Scan
+
+# VoxelMap fields that are replicated (not sharded over the map axis):
+# the packing origin [3] and the delta fill cursor (a scalar).
+_REPL_FIELDS = ("origin", "d_fill")
+
 
 def shard_map(body, mesh, in_specs, out_specs, check_rep=False):
     """Version shim: jax>=0.8 moved shard_map to jax.shard_map and renamed
@@ -96,33 +101,14 @@ def _owner_candidates(
 def _compact_slice(cand: jnp.ndarray, arrays, s_cap: int):
     """Stable-sort rows so cand=True rows lead, then take the first `s_cap`.
 
-    arrays: sequence of [N] or [N, k] arrays riding along one variadic sort
-    (the same head-compaction trick as `ops.preprocess`).  Returns
-    (sliced_arrays, valid [s_cap] bool, overflow int32) where overflow
-    counts candidates that did not fit the slice."""
+    One 2-operand (key, iota) sort; each array rides on a row gather of the
+    permutation (the compile-cost rule of `ops.sortmerge.sort_perm`).
+    Returns (sliced_arrays, valid [s_cap] bool, overflow int32) where
+    overflow counts candidates that did not fit the slice."""
     key = jnp.where(cand, 0, 1).astype(jnp.int32)
-    cols = []
-    widths = []
-    for a in arrays:
-        if a.ndim == 1:
-            cols.append(a)
-            widths.append(0)
-        else:
-            cols.extend(a[:, j] for j in range(a.shape[1]))
-            widths.append(a.shape[1])
-    out = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=True)
+    out = sm.sort_perm(key, *arrays)
     valid = out[0][:s_cap] == 0
-    res = []
-    i = 1
-    for a, w in zip(arrays, widths):
-        if w == 0:
-            res.append(out[i][:s_cap])
-            i += 1
-        else:
-            res.append(
-                jnp.stack([out[i + j][:s_cap] for j in range(w)], axis=1)
-            )
-            i += w
+    res = [a[:s_cap] for a in out[2:]]
     n_cand = jnp.sum(cand.astype(jnp.int32))
     overflow = jnp.maximum(n_cand - s_cap, 0)
     return res, valid, overflow
@@ -152,7 +138,7 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
     shard = P(axis)
 
     map_specs = vm.VoxelMap(
-        **{f: (repl if f == "origin" else shard) for f in vm.VoxelMap._fields}
+        **{f: (repl if f in _REPL_FIELDS else shard) for f in vm.VoxelMap._fields}
     )
     chunk_specs = ImuChunk(
         dt=repl, t_rel=repl, gyro=repl, accel=repl, valid=repl
@@ -345,7 +331,7 @@ def make_sharded_init_step(config: Config, mesh: Mesh):
     repl = P()
     shard = P(axis)
     map_specs = vm.VoxelMap(
-        **{f: (repl if f == "origin" else shard) for f in vm.VoxelMap._fields}
+        **{f: (repl if f in _REPL_FIELDS else shard) for f in vm.VoxelMap._fields}
     )
     scan_specs = Scan(points=repl, t_rel=repl, valid=repl)
 
@@ -414,7 +400,7 @@ class ShardedOdometry(odo.Odometry):
                 **{
                     f: jax.device_put(
                         getattr(self.voxmap, f),
-                        repl if f == "origin" else shard,
+                        repl if f in _REPL_FIELDS else shard,
                     )
                     for f in vm.VoxelMap._fields
                 }
@@ -429,7 +415,7 @@ class ShardedOdometry(odo.Odometry):
                         dist.replicate_to_mesh(
                             np.asarray(getattr(self.voxmap, f)), self.mesh
                         )
-                        if f == "origin"
+                        if f in _REPL_FIELDS
                         else dist.shard_to_mesh(
                             np.asarray(getattr(self.voxmap, f)),
                             self.mesh,

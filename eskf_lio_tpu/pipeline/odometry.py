@@ -304,19 +304,24 @@ class Odometry:
             valid=jnp.asarray(valid),
         )
 
-    def _build_scan(self, rec: LidarRecord) -> Scan:
+    def _build_scan(self, rec: LidarRecord) -> tuple[Scan, int]:
         # pad/truncate into the fixed device layout — the C++ fast path
-        # when the native runtime is built, numpy otherwise
+        # when the native runtime is built, numpy otherwise.  Returns the
+        # scan AND the number of raw points dropped by the capacity cut
+        # (the reference never drops, `Subscriber.hpp:89-97` — a static
+        # budget must, so the loss is surfaced, not silent).
         from eskf_lio_tpu.io import native_runtime
 
-        xyz, t_rel, valid, _ = native_runtime.pack_scan(
+        xyz, t_rel, valid, n_packed = native_runtime.pack_scan(
             rec.points, rec.t, rec.end_time, self.config.max_raw_points
         )
-        return Scan(
+        dropped_raw = max(len(rec.points) - int(n_packed), 0)
+        scan = Scan(
             points=jnp.asarray(xyz),
             t_rel=jnp.asarray(t_rel),
             valid=jnp.asarray(valid),
         )
+        return scan, dropped_raw
 
     # -- main entry --------------------------------------------------------
 
@@ -335,7 +340,7 @@ class Odometry:
             self.t_last_update = t_end
             # drop IMU before the first scan end (ref `ErrorStateKF.cpp:66-69`)
             self.imu_pending = [r for r in self.imu_pending if r.t >= t_end]
-            scan = self._build_scan(rec)
+            scan, _ = self._build_scan(rec)
             self.voxmap, _ = self.init_step(self.voxmap, scan)
             self._record(t_end, np.eye(3), np.zeros(3), None)
             self.prev_R = jnp.eye(3)
@@ -363,7 +368,7 @@ class Odometry:
             self.t_last_update = head[-1].t
 
         chunk = self._build_chunk(chunk_records, t_end)
-        scan = self._build_scan(rec)
+        scan, dropped_raw = self._build_scan(rec)
 
         do_evict = (
             self.config.remove_distant_points
@@ -391,6 +396,9 @@ class Odometry:
         pose_t = np.asarray(self.prev_t)
         self.timer.add(time.perf_counter() - t0)
         diag_host = {k: np.asarray(v) for k, v in diag.items()}
+        # raw points that never reached the device (non-finite or beyond
+        # `max_raw_points`) — a silent-data-loss channel made visible
+        diag_host["dropped_raw_points"] = np.asarray(dropped_raw)
         if not bool(diag_host.get("pose_finite", True)):
             self.diverged = True
         if int(diag_host.get("num_correspondences", 1)) == 0:

@@ -119,7 +119,7 @@ def test_stationary_zero_input():
     m = 40
     accels = np.tile([0.0, 0.0, 9.81], (m, 1))
     chunk = make_chunk(np.full(m, 0.0025), np.zeros((m, 3)), accels)
-    final, hist, _ = eskf.predict_chunk(s, chunk, noise)
+    final, hist = eskf.predict_chunk(s, chunk, noise)
     np.testing.assert_allclose(np.asarray(final.p), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(final.v), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(final.q), [1, 0, 0, 0], atol=1e-6)
@@ -149,7 +149,7 @@ def test_predict_matches_oracle(rng):
 
     for k in range(0, n_total, m):
         chunk = make_chunk(dts[k:k + m], gyros[k:k + m], accels[k:k + m])
-        s, _, _ = eskf.predict_chunk(s, chunk, noise)
+        s, _ = eskf.predict_chunk(s, chunk, noise)
 
     # positions drift ~metres over 3 s of integration; f32 should stay close
     np.testing.assert_allclose(np.asarray(s.p), oracle.p, atol=2e-3)
@@ -194,7 +194,7 @@ def test_circle_trajectory_analytic():
 
     for k in range(0, n, 40):
         chunk = make_chunk(np.full(40, dt), gyros[k:k + 40], accels[k:k + 40])
-        s, _, _ = eskf.predict_chunk(s, chunk, noise)
+        s, _ = eskf.predict_chunk(s, chunk, noise)
 
     theta_end = omega * n * dt
     p_expect = radius * np.array([np.cos(theta_end), np.sin(theta_end), 0.0])
@@ -216,8 +216,8 @@ def test_padding_is_noop(rng):
         accel=jnp.concatenate([chunk_full.accel, jnp.ones((pad, 3))]),
         valid=jnp.concatenate([chunk_full.valid, jnp.zeros(pad, bool)]),
     )
-    f1, _, _ = eskf.predict_chunk(s, chunk_full, NOISE)
-    f2, _, _ = eskf.predict_chunk(s, chunk_padded, NOISE)
+    f1, _ = eskf.predict_chunk(s, chunk_full, NOISE)
+    f2, _ = eskf.predict_chunk(s, chunk_padded, NOISE)
     for a, b in zip(jax.tree.leaves(f1), jax.tree.leaves(f2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -228,14 +228,14 @@ def test_negative_dt_dropped(rng):
     gyros = rng.normal(size=(4, 3))
     accels = rng.normal(size=(4, 3))
     c1 = make_chunk([0.0025, 0.0025, 0.0025, 0.0025], gyros, accels)
-    f_ref, _, _ = eskf.predict_chunk(s, c1, NOISE)
+    f_ref, _ = eskf.predict_chunk(s, c1, NOISE)
     # make sample 2 negative-dt; then sample 3 absorbs its dt
     g2 = np.vstack([gyros[:2], gyros[3:], gyros[3:]])
     a2 = np.vstack([accels[:2], accels[3:], accels[3:]])
     c2 = make_chunk([0.0025, 0.0025, -1.0, 0.0025], np.vstack([gyros[:2], gyros[2:3], gyros[3:]]), np.vstack([accels[:2], accels[2:3], accels[3:]]))
-    f_neg, _, _ = eskf.predict_chunk(s, c2, NOISE)
+    f_neg, _ = eskf.predict_chunk(s, c2, NOISE)
     c3 = make_chunk([0.0025, 0.0025, 0.0025], np.vstack([gyros[:2], gyros[3:]]), np.vstack([accels[:2], accels[3:]]))
-    f_skip, _, _ = eskf.predict_chunk(s, c3, NOISE)
+    f_skip, _ = eskf.predict_chunk(s, c3, NOISE)
     for a, b in zip(jax.tree.leaves(f_neg), jax.tree.leaves(f_skip)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     del f_ref, g2, a2
@@ -256,7 +256,7 @@ def test_update_matches_oracle(rng):
     for i in range(m):
         oracle.predict(0.0025, gyros[i], accels[i])
     chunk = make_chunk(np.full(m, 0.0025), gyros, accels)
-    s, _, _ = eskf.predict_chunk(s, chunk, noise)
+    s, _ = eskf.predict_chunk(s, chunk, noise)
 
     # observed pose = slightly perturbed current pose
     dp = np.array([0.02, -0.01, 0.03])
@@ -288,7 +288,7 @@ def test_state_at_gather(rng):
         rng.normal(size=(m, 3)),
         rng.normal(size=(m, 3)),
     )
-    final, hist, full = eskf.predict_chunk(s, chunk, NOISE)
+    final, hist, full = eskf.predict_chunk_full(s, chunk, NOISE)
     s0 = eskf.state_at(full, jnp.asarray(0))
     for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

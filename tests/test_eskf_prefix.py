@@ -35,7 +35,7 @@ def seq_base(state, chunk):
     """Sequential reference: state at the last valid sample with t_rel<=0.
     (Index found by explicit max — searchsorted would mis-handle invalid
     samples injected mid-chunk.)"""
-    final, hist, full = eskf.predict_chunk(state, chunk, NOISE)
+    final, hist, full = eskf.predict_chunk_full(state, chunk, NOISE)
     valid = np.asarray(hist.valid)
     ts = np.asarray(hist.t_rel)
     idxs = np.where(valid & (ts <= 0))[0]
@@ -74,7 +74,7 @@ def test_prefix_matches_sequential(rng):
 def test_prefix_full_chunk_is_final_state(rng):
     state = eskf.init_state(CFG)
     chunk = make_chunk(rng, 24)
-    final_seq, _, _ = eskf.predict_chunk(state, chunk, NOISE)
+    final_seq, _ = eskf.predict_chunk(state, chunk, NOISE)
     final_pre, _ = eskf.predict_chunk_prefix(state, chunk, NOISE)
     assert_state_close(final_pre, final_seq)
 
@@ -114,7 +114,7 @@ def test_prefix_oracle_covariance(rng):
     state = eskf.init_state(CFG)
     for _ in range(5):
         chunk = make_chunk(rng, 40, t_end_frac=1.0)
-        final_seq, _, _ = eskf.predict_chunk(state, chunk, NOISE)
+        final_seq, _ = eskf.predict_chunk(state, chunk, NOISE)
         final_pre, _ = eskf.predict_chunk_prefix(state, chunk, NOISE)
         np.testing.assert_allclose(
             np.asarray(final_pre.P),

@@ -122,7 +122,12 @@ def test_align_with_pallas_backend_matches(synthetic_scan_and_map=None):
         valid=jnp.ones(n, bool),
     )
     guess = Pose(jnp.eye(3), jnp.zeros(3))
-    res_e = reg.align(scan, voxmap, guess, config)
+    # pin the reference side to einsum: on a TPU host "auto" would also
+    # resolve to pallas and the comparison would be vacuous
+    res_e = reg.align(
+        scan, voxmap, guess,
+        dataclasses.replace(config, gn_backend="einsum"),
+    )
     res_p = reg.align(
         scan, voxmap, guess,
         dataclasses.replace(config, gn_backend="pallas"),

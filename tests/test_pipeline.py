@@ -136,3 +136,21 @@ def test_npz_roundtrip(tmp_path, seq):
         back.scans[2].points, seq.scans[2].points, atol=1e-6
     )
     np.testing.assert_allclose(back.gt_positions, seq.gt_positions)
+
+
+def test_oversized_scan_truncation_is_counted():
+    """A sweep beyond `max_raw_points` must surface the dropped count in the
+    per-scan diagnostics (the reference never drops, `Subscriber.hpp:89-97`;
+    a static budget must, and the loss may not be silent)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, max_raw_points=4096, max_scan_points=2048, hash_capacity_log2=14
+    )
+    big = dataset.make_synthetic_sequence(
+        duration=1.2, points_per_scan=9000, seed=7
+    )
+    odo = Odometry(cfg)
+    odo.run(big, max_scans=4)
+    drops = [int(d["dropped_raw_points"]) for d in odo.diags]
+    assert all(d >= 9000 - 4096 for d in drops), drops
