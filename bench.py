@@ -103,7 +103,6 @@ def make_config(max_raw_points: int, max_scan_points: int) -> Config:
         max_scan_points=max_scan_points,
         max_imu_per_scan=64,
         hash_capacity_log2=19,
-        map_delta_log2=14,
         gn_backend=os.environ.get("ESKF_GN_BACKEND", "auto"),
     )
 

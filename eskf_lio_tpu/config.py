@@ -108,13 +108,6 @@ class Config:
     # "auto" resolves to pallas on TPU, einsum elsewhere (the kernel would
     # run interpreted off-TPU).
     gn_backend: str = "auto"
-    # Build a merged single-probe lookup view once per scan before the GN
-    # loop (`voxel_map.build_lookup`).  Measured on v5e: the ~1.3 ms build
-    # only amortises when GN runs ≳5 iterations; with the shipped noise
-    # tuning VGICP converges in 2-3, so the per-iteration two-tier probe
-    # wins and this stays off.  Enable for poor-initialisation regimes
-    # (high icp_max_iterations actually reached).
-    merged_lookup: bool = False
 
     # --- TPU static capacities (new; no reference counterpart) -----------
     max_raw_points: int = 131072  # per-scan raw point budget (padded)
@@ -122,8 +115,13 @@ class Config:
     max_imu_per_scan: int = 64  # IMU samples per scan interval (padded)
     hash_capacity_log2: int = 19  # voxel-map slots = 2**19 = 524288
     map_delta_log2: int | None = None  # LSM delta-tier slots (default C/8).
-    # Smaller delta = cheaper per-scan merge (O(N+D) sorts), more frequent
-    # amortised compactions; 2**14 is the sweet spot at C=2**19.
+    # Per-scan insert cost is INDEPENDENT of the delta size (one view
+    # probe + scatters), so a larger delta is almost pure win: the fold
+    # (O(C) sorts + view rebuild, ~tens of ms at 2^19) triggers when the
+    # voxels-seen-since-last-fold exceed it.  It must comfortably exceed
+    # the per-scan unique-voxel count (~17k at the heavy workload) or
+    # every scan folds; C/8 = 2^16 at the shipped capacity keeps folds
+    # tens of scans apart.
     dtype: str = "float32"
 
     # --- parallelism -----------------------------------------------------
@@ -238,7 +236,6 @@ def load_config(path: str) -> Config:
         "shard_slack",
         "shard_halo",
         "gn_backend",
-        "merged_lookup",
     ):
         if key in tpu:
             kwargs[key] = tpu[key]

@@ -8,43 +8,47 @@ running mean of member points and a running mean of member point
 covariance, not the member scatter — `LocalMap.hpp:84`), capped at
 `max_points_per_voxel` points (`LocalMap.hpp:81`).
 
-Layout — driven by measured TPU primitive costs (tools/bench_compile.py;
-one v5e chip behind the axon tunnel):
+Layout — driven by measured TPU primitive costs (tools/bench_compile.py,
+tools/profile_preprocess.py, the round-4 scatter experiments; one v5e chip
+behind the axon tunnel):
 
 * runtime law: sorts and dense scans stream at full bandwidth (~1.4 ms for
-  32k-590k rows); random gathers/scatters are latency-bound per element
-  (~0.3 ms per 32k rows).  compile law: `lax.sort` costs ~10 s of XLA
-  compile PER OPERAND (nearly independent of N), 2-D-index scatters cost
-  10-34 s, prefix scans scale with N (~25 s at 590k); row gathers/scatters
-  and ALU are ~free.  Every algorithm below therefore uses 2-operand
-  (key, iota) sorts with payload riding on gathers, flat row scatters, and
-  keeps prefix scans off the main-capacity shapes where possible.
+  32k-590k rows); random gathers are latency-bound PER ELEMENT (~0.5-1.3
+  ms per 32k bucket-row probes, regardless of row width or table size);
+  scatters are fast ONLY on the copy path (copy + sparse update, cost ~
+  table bandwidth) — an ALIASED in-place scatter serialises at ~1 µs per
+  updated row at any table size (measured 11-434 ms).  Per-scan writes
+  must therefore hit a SMALL table; the big main view is written only by
+  amortised folds.  compile law: `lax.sort` costs ~10 s of XLA compile PER
+  OPERAND, 2-D-index scatters 10-34 s; row gathers/scatters and ALU are
+  ~free — hence 2-operand (key, iota) sorts with payload riding on
+  gathers, and flat row scatters everywhere.
 * entries are ordered by `skey = order-preserving bijective 32-bit hash of
   the packed voxel key` (`ops.sortmerge.skey_of`).  Bijective => equal skey
-  <=> equal voxel (so no `packed` column is stored at all — it is derived
-  by the inverse mixer `ops.sortmerge.packed_of_skey` when needed);
-  hashing => skeys are uniformly distributed, so a set-associative `view`
-  (8 payload-inlined slots per 512-byte bucket row, 4x slot headroom)
-  resolves a batch of lookups with ONE [N,128] row-gather + lane compares
-  per tier — the per-voxel stats ride in the same gather.
-* per-voxel payload is ONE [C, 10] f32 array (count, mean/Σp x3, cov/Σcov
-  x6): row gathers/scatters move whole slots per element of latency.
-* MAIN tier: capacity C, finalised running stats, ascending by skey,
-  rebuilt only on fold/eviction.  DELTA tier: capacity D of *raw sums* in
-  APPEND order — the LSM memtable, indexed exactly by its own `d_view`.
-  insert = segment-reduce the batch, scatter-add into existing delta rows
-  through the view probe (the probe already fetched the old inline sums,
-  so the view payload stays fresh with one extra row scatter), append new
-  voxels to the tail; when an append would overflow, the whole batch +
-  delta folds into MAIN with one merge (O(C), amortised) instead.
+  <=> equal voxel (no `packed` column is stored — it derives via the
+  inverse mixer `ops.sortmerge.packed_of_skey`); hashing => skeys are
+  uniform, so a set-associative view (8 payload-inlined slots per 512-byte
+  bucket row, 4x headroom) resolves a batch of lookups with ONE [N,128]
+  row-gather + lane compares per tier.
+* MAIN tier: capacity C of finalised stats rows, ascending by skey, plus
+  its `view`; rebuilt only on fold/eviction.  DELTA tier: capacity D of
+  raw-sum rows in APPEND order — the LSM memtable — plus its own small
+  `d_view` whose slots inline the raw sums and the delta row index.
+  insert = segment-reduce the batch (streaming Pallas scan,
+  `ops/segscan.py`), ONE d_view probe, capped merge into existing rows /
+  append new ones; when an append would overflow, delta + batch fold into
+  MAIN with one merge (O(C), amortised).
+* lookup = one probe per tier, cap-combining main stats with pending
+  delta sums at read (ref `correspondenceMatching` semantics).
 * evict — fold + mask + one re-sort by the re-centred keys (ref
   `LocalMap.cpp:60-72`); re-centring keeps the 1024-voxel packing span
   over the eviction radius.
 
 Semantics vs the sequential reference: identical below the point cap; a
-batch crossing the cap contributes proportionally rather than by
-scan-order truncation (cap applied per merge step, so a saturated voxel
-stops accumulating exactly like `LocalMap.hpp:81`).
+batch crossing the cap contributes proportionally within the batch
+(first-come across batches inside the delta epoch, proportional between
+tiers at read — the batch form of the reference's
+`numPoints < maxNumPoints` gate).
 """
 
 from __future__ import annotations
@@ -54,26 +58,27 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from eskf_lio_tpu.ops import segscan
 from eskf_lio_tpu.ops import sortmerge as sm
 from eskf_lio_tpu.ops import voxel as vx
 
 INT32_MAX = sm.INT32_MAX
 
-# Lookup view: a set-associative mirror of the dictionary.  Each bucket
-# holds VIEW_ASSOC slots of VIEW_SLOT int32 words — [skey, row,
-# payload(10, f32 bitcast), 4 pad] — in one 512-byte row, so a whole batch
-# lookup is ONE [N, 128] row-gather + lane compares + a lane select: the
-# payload rides in the same gather (random gathers are latency-bound per
-# element, not bytes-bound, so the wide row is free).  4x slot headroom
-# keeps per-bucket overflow negligible even at full table load (Poisson(2)
-# tail beyond 8: ~1e-4 per bucket); an entry overflowing its bucket is
-# dropped and counted (never misplaced).  HBM cost: the views are 4x
-# capacity x 64 B = 128 MiB at the shipped 2^19 main capacity — the
-# dominant map allocation, budgeted in BASELINE.md.
+# View: each bucket holds VIEW_ASSOC slots of VIEW_SLOT int32 words —
+# [skey, row, payload(10, f32 bitcast), 4 pad] — in one 512-byte row, so a
+# whole batch lookup is ONE [N, 128] row-gather + lane compares + a lane
+# select (random gathers are latency-bound per element, not bytes-bound,
+# so the wide row is free).  The main view's payload words carry the
+# finalised stats; the d_view's carry the delta raw sums.  4x slot
+# headroom keeps per-bucket overflow negligible even at full table load
+# (Poisson(2) tail beyond 8: ~1e-4 per bucket); an entry overflowing its
+# bucket is dropped and counted (never misplaced).  HBM cost: 4x capacity
+# x 64 B = 128 MiB main view at the shipped 2^19 capacity — the dominant
+# map allocation, budgeted in BASELINE.md.
 VIEW_ASSOC = 8
 VIEW_HEADROOM = 4  # total view slots = VIEW_HEADROOM * capacity
 VIEW_SLOT = 16  # int32 words per slot (64-byte aligned)
-_SLOT_PAY = 12  # words carrying data per slot: skey, row, payload x10
+_SLOT_PAY = 12  # payload words per slot: skey, row, payload x10
 
 
 def pack_cov(cov: jnp.ndarray) -> jnp.ndarray:
@@ -111,11 +116,11 @@ class VoxelMap(NamedTuple):
     # main tier (finalised stats), ascending by skey, INT32_MAX tail
     skey: jnp.ndarray  # [C] int32
     payload: jnp.ndarray  # [C, 10] f32: count, mean(3), cov(6)
-    view: jnp.ndarray  # [C/2, 128] int32 set-assoc payload-inlined view
+    view: jnp.ndarray  # [C/2, 128] int32 — stats-inlined, fold-rebuilt
     # delta tier (raw sums), APPEND order, live rows = [0, d_fill)
     d_skey: jnp.ndarray  # [D] int32
     d_payload: jnp.ndarray  # [D, 10] f32: count, Σp(3), Σcov(6)
-    d_view: jnp.ndarray  # [D/2, 128] int32
+    d_view: jnp.ndarray  # [D/2, 128] int32 — raw-sum-inlined, per-scan
     d_fill: jnp.ndarray  # [] int32 live delta rows
 
     @property
@@ -214,8 +219,9 @@ def _slot_values(skey, row, payload):
 
 def _scatter_slots(view, b, slot, vals, ok):
     """Write [E, 16] slot images at (bucket b, slot) as ONE flat row
-    scatter (2-D-index scatters cost 10-34 s of compile and ~10x the
-    runtime on this backend).  Rows with ok=False are dropped."""
+    scatter.  Rows with ok=False are dropped.  The [nb,128] <-> [nb*8,16]
+    reshape is a minor-dim retile (~2 bandwidth passes of the table) —
+    cheap on the small d_view, amortised on the fold-only main view."""
     nb = view.shape[0]
     flat = jnp.where(ok, b * VIEW_ASSOC + slot, nb * VIEW_ASSOC)
     out = view.reshape(nb * VIEW_ASSOC, VIEW_SLOT).at[flat].set(
@@ -227,8 +233,8 @@ def _scatter_slots(view, b, slot, vals, ok):
 def _build_view(
     skey_sorted: jnp.ndarray, payload_sorted: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Build the payload-inlined set-associative view from an ascending
-    skey array and its row payloads.
+    """Build a payload-inlined set-associative view from an ascending skey
+    array and its row payloads.
 
     bucket(x) = top bits of x's uint32 order, so equal-bucket rows are
     contiguous in the sorted array; rank-in-bucket falls out of a segmented
@@ -250,7 +256,8 @@ def _build_view(
     ok = jnp.logical_and(live, rank < VIEW_ASSOC)
     dropped = jnp.sum(jnp.logical_and(live, ~ok).astype(jnp.int32))
     view = _scatter_slots(
-        _empty_view(c), bo, rank, _slot_values(skey_sorted, pos, payload_sorted), ok
+        _empty_view(c), bo, rank,
+        _slot_values(skey_sorted, pos, payload_sorted), ok,
     )
     return view, dropped
 
@@ -302,15 +309,15 @@ def _combine(c_main, mean_main, cov_main, c_add, psum, csum, cap):
     return c_main + cap_add, mean, cov
 
 
-def _combine_raw(old, add, cap):
-    """Capped merge of two [*, 10] RAW-SUM rows (count, Σp, Σcov): scale the
-    incoming sums so the count never exceeds `cap` — the batch form of the
-    reference's `numPoints < maxNumPoints` insertion gate
-    (`LocalMap.hpp:81`): a saturated voxel stops accumulating."""
-    c_old, c_add = old[..., 0], add[..., 0]
-    cap_add = jnp.clip(cap - c_old, 0.0, c_add)
-    scale = jnp.where(c_add > 0, cap_add / jnp.maximum(c_add, 1.0), 0.0)
-    return old + scale[..., None] * add
+def _combine_rows(stats, add_raw, cap):
+    """`_combine` over [*, 10] rows: `stats` in (count, mean, cov) form,
+    `add_raw` in (count, Σp, Σcov) raw-sum form.  Returns combined stats
+    rows."""
+    cnt, mean, cov = _combine(
+        stats[..., 0], stats[..., 1:4], stats[..., 4:10],
+        add_raw[..., 0], add_raw[..., 1:4], add_raw[..., 4:10], cap,
+    )
+    return jnp.concatenate([cnt[..., None], mean, cov], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -348,8 +355,9 @@ def lookup_packed(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """lookup() given precomputed packed keys (see `lookup`).
 
-    TWO gathers total (one per tier): the per-voxel payload is inlined in
-    the view buckets, so no dependent payload gather follows the probe."""
+    TWO gathers total (one per tier): each tier's per-voxel payload is
+    inlined in its view buckets, so no dependent payload gather follows
+    either probe."""
     dtype = vmap.payload.dtype
     skey = sm.skey_of(packed)
 
@@ -370,118 +378,11 @@ def lookup_packed(
 
 
 # ---------------------------------------------------------------------------
-# merged (single-gather) lookup view
-# ---------------------------------------------------------------------------
-
-
-class LookupView(NamedTuple):
-    """Read-optimised snapshot of the two-tier map: ONE payload-inlined
-    set-associative view holding the cap-combined (main+delta) stats, so a
-    batch lookup is a SINGLE bucket row-gather — no payload gather, no
-    per-point running-mean combine, no second tier probe.  Built once per
-    scan before the GN while-loop; worthwhile when the loop runs enough
-    iterations to amortise the build (see `Config.merged_lookup`)."""
-
-    view: jnp.ndarray  # [C/2, 128] int32 — slots carry combined payloads
-
-
-def build_lookup(
-    vmap: VoxelMap, *, max_points_per_voxel: int = 1000
-) -> tuple[LookupView, jnp.ndarray]:
-    """Fold the delta tier into a single payload-inlined lookup view.
-
-    * a delta entry whose voxel exists in MAIN gets the cap-combined stats
-      written over that slot's inline payload;
-    * a delta-only entry is scattered into its bucket's free slots
-      (occupied slots are always a prefix, so slot = first_free +
-      rank-in-bucket);
-    * a delta-only entry landing in a full bucket is dropped from the view
-      (a missed correspondence, never corruption) and counted.
-
-    Returns (LookupView, n_dropped)."""
-    cap = jnp.asarray(max_points_per_voxel, vmap.payload.dtype)
-    d_cap = vmap.delta_capacity
-    # the delta is append-ordered; bucket-rank bookkeeping below needs
-    # ascending skey, so sort it first (2-operand sort + one row gather)
-    d_skey, _, d_payload = sm.sort_perm(vmap.d_skey, vmap.d_payload)
-    d_live = d_skey != INT32_MAX
-    nb = vmap.view.shape[0]
-    b = sm.bucket_of(d_skey, nb)
-
-    # one bucket gather gives match, lane, inline main payload AND occupancy
-    rows = vmap.view[b]  # [D, 128]
-    slots = rows.reshape(d_cap, VIEW_ASSOC, VIEW_SLOT)
-    eq = slots[:, :, 0] == d_skey[:, None]
-    found = jnp.logical_and(jnp.any(eq, axis=1), d_live)
-    lane = jnp.argmax(eq, axis=1).astype(jnp.int32)
-    hitslot = jnp.take_along_axis(slots, lane[:, None, None], axis=1)[:, 0, :]
-    pay_m_raw = jax.lax.bitcast_convert_type(
-        hitslot[:, 2:_SLOT_PAY], jnp.float32
-    )
-    first_free = jnp.sum(
-        (slots[:, :, 0] != INT32_MAX).astype(jnp.int32), axis=1
-    )
-
-    merged = found
-    pay_m = jnp.where(merged[:, None], pay_m_raw, 0.0)
-    cnt, mean, cov = _combine(
-        pay_m[:, 0], pay_m[:, 1:4], pay_m[:, 4:10],
-        d_payload[:, 0], d_payload[:, 1:4], d_payload[:, 4:10],
-        cap,
-    )
-    d_final = jnp.concatenate([cnt[:, None], mean, cov], axis=1)  # [D, 10]
-
-    pos = jnp.arange(d_cap, dtype=jnp.int32)
-    # slot index: overwrite the matched slot for merged entries; first free
-    # slot (+ rank among same-bucket new entries) for delta-only ones.
-    # d_skey ascends and bucket_of is monotone, so equal-bucket runs are
-    # contiguous: segmented rank via one cummax + one cumsum.
-    new = jnp.logical_and(d_live, ~found)
-    head = jnp.concatenate([jnp.ones((1,), bool), b[1:] != b[:-1]])
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(head, pos, 0)
-    )
-    incl = jnp.cumsum(new.astype(jnp.int32))
-    base = (incl - new.astype(jnp.int32))[seg_start]
-    rank = incl - 1 - base  # rank among NEW entries of the same bucket
-
-    slot = jnp.where(merged, lane, first_free + rank)
-    ok = jnp.logical_and(d_live, slot < VIEW_ASSOC)
-    dropped = jnp.sum(jnp.logical_and(d_live, ~ok).astype(jnp.int32))
-    row_idx = jnp.where(merged, hitslot[:, 1], vmap.capacity + pos)
-    view = _scatter_slots(
-        vmap.view, b, slot, _slot_values(d_skey, row_idx, d_final), ok
-    )
-    return LookupView(view=view), dropped
-
-
-def lookup_merged(
-    lv: LookupView,
-    points: jnp.ndarray,
-    *,
-    voxel_size: float,
-    origin: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-gather correspondence lookup against a `build_lookup`
-    snapshot (ref `correspondenceMatching`, `LocalMap.cpp:78-109`): the
-    bucket row-gather returns the combined payload directly.
-
-    Returns (mean [N,3], cov_packed [N,6], hit [N] bool)."""
-    keys = vx.voxel_key(points, voxel_size)
-    packed, in_range = sm.pack_keys(keys, origin)
-    skey = sm.skey_of(packed)
-    pay_raw, _, _, found = _view_probe(lv.view, skey)
-    hit = jnp.logical_and(found, in_range)
-    pay = jnp.where(hit[:, None], pay_raw, 0.0)
-    return pay[:, 1:4], pay[:, 4:10], hit
-
-
-# ---------------------------------------------------------------------------
 # fold (LSM flush: delta [+ batch] -> main)
 # ---------------------------------------------------------------------------
 
 
-def _fold_into_main(vmap: VoxelMap, ex_skey, ex_payload, cap):
+def _fold_into_main(vmap: VoxelMap, ex_skey, ex_payload, cap, with_view=True):
     """Merge the main tier with extra raw-sum rows [L] (any order, unique
     keys, typically delta rows + a batch's new voxels).
 
@@ -490,7 +391,10 @@ def _fold_into_main(vmap: VoxelMap, ex_skey, ex_payload, cap):
     and combine under the point cap; a second same-shape sort compacts the
     surviving rows back to an ascending [C] prefix.
 
-    Returns (skey [C], payload [C,10], view, overflow)."""
+    `with_view=False` skips the C-scale view rebuild (a ~20-50 ms row
+    scatter) for callers that rebuild it themselves right after (evict).
+
+    Returns (skey [C], payload [C,10], view | None, overflow)."""
     c_cap = vmap.capacity
 
     p, perm, pay = sm.sort_perm(
@@ -508,29 +412,21 @@ def _fold_into_main(vmap: VoxelMap, ex_skey, ex_payload, cap):
     is_new = jnp.logical_and(~old, p != INT32_MAX)
     merged = jnp.logical_and(is_new, jnp.logical_and(prev_same, prev_old))
 
-    c_main = jnp.where(merged, pay_prev[:, 0], 0.0)
-    mean_m = jnp.where(merged[:, None], pay_prev[:, 1:4], 0.0)
-    cov_m = jnp.where(merged[:, None], pay_prev[:, 4:10], 0.0)
-    out_cnt, out_mean, out_cov = _combine(
-        c_main, mean_m, cov_m, pay[:, 0], pay[:, 1:4], pay[:, 4:10], cap
-    )
+    stats_prev = jnp.where(merged[:, None], pay_prev, 0.0)
+    combined = _combine_rows(stats_prev, pay, cap)
 
     next_absorbs = jnp.concatenate([merged[1:], jnp.zeros((1,), bool)])
     dead = jnp.logical_and(old, next_absorbs)
     keep_row = jnp.logical_and(p != INT32_MAX, ~dead)
     row_skey = jnp.where(keep_row, p, INT32_MAX)
-    row_payload = jnp.where(
-        is_new[:, None],
-        jnp.concatenate([out_cnt[:, None], out_mean, out_cov], axis=1),
-        pay,
-    )
+    row_payload = jnp.where(is_new[:, None], combined, pay)
 
     f_skey, _, f_payload = sm.sort_perm(row_skey, row_payload)
     f_skey, f_payload = f_skey[:c_cap], f_payload[:c_cap]
     kept = f_skey != INT32_MAX
     n_live = jnp.sum((row_skey != INT32_MAX).astype(jnp.int32))
     overflow = jnp.maximum(n_live - jnp.sum(kept.astype(jnp.int32)), 0)
-    f_view, _ = _build_view(f_skey, f_payload)
+    f_view = _build_view(f_skey, f_payload)[0] if with_view else None
     return f_skey, f_payload, f_view, overflow
 
 
@@ -563,16 +459,17 @@ def insert(
     Replaces the sequential per-point insert loop (`LocalMap.cpp:47-58`):
 
     1. ONE (skey, iota) sort groups the batch; per-voxel raw sums come
-       from a segment reduction, compacted to unique ascending entries.
-    2. ONE `d_view` bucket gather resolves each unique voxel against the
-       delta tier: hits scatter-add into their delta rows (the probe
-       already fetched the old inline sums, so the view payload is
-       refreshed by the same row scatter); misses append to the delta
-       tail and claim free view slots.
+       from the streaming segmented scan (`ops/segscan.py`), compacted to
+       unique ascending entries.
+    2. ONE d_view probe resolves every unique voxel against the delta
+       tier: hits merge capped raw sums into their rows (the probe already
+       fetched the old inline sums — one slot scatter refreshes the view),
+       misses append to the delta tail and claim free view slots.  The
+       big main view is never written here.
     3. If the appends would overflow the delta, the delta AND the batch's
        new voxels fold into MAIN together (O(C), amortised) and the delta
        resets — so a batch with more new voxels than the delta capacity
-       never drops data (ref grows unboundedly, `LocalMap.cpp:47-58`).
+       never drops data.
 
     Returns (new_map, num_dropped): dropped = out-of-span points +
     main-capacity overflow + view-bucket overflow (~1e-4)."""
@@ -598,40 +495,48 @@ def insert(
         axis=1,
     )  # [N, 10] per-point raw contribution
 
-    # 1. group by voxel: one 2-operand sort, payload rides on the gather
+    # 1. group by voxel: one 2-operand sort, payload rides on the gather;
+    # per-voxel raw sums land on each segment's HEAD row via the streaming
+    # segmented scan, then heads compact to their segment id (monotone in
+    # the sorted order — no second sort)
     skey_s, _, raw_s = sm.sort_perm(skey, raw)
     ok_s = skey_s != INT32_MAX
     head, seg_id = sm.unique_segments(skey_s, ok_s)
-    u_pay = jax.ops.segment_sum(raw_s, seg_id, num_segments=n)  # [N, 10]
-    # unique voxels, ascending skey, compacted to the front: head rows land
-    # at their segment id (monotone in the sorted order) — no second sort
+    totals = segscan.segsum_sorted(skey_s, raw_s)
     hpos = jnp.where(head, seg_id, n)
     u_skey = jnp.full((n,), INT32_MAX, jnp.int32).at[hpos].set(
         skey_s, mode="drop"
     )
+    u_pay = jnp.zeros((n, 10), dtype).at[hpos].set(totals, mode="drop")
     u_live = u_skey != INT32_MAX
 
-    # 2. one bucket gather resolves every unique voxel against the delta
-    nb_d = vmap.d_view.shape[0]
-    b = sm.bucket_of(u_skey, nb_d)
+    # 2. ONE probe of the delta view resolves every unique voxel
+    nb = vmap.d_view.shape[0]
+    b = sm.bucket_of(u_skey, nb)
     rows = vmap.d_view[b]
     slots = rows.reshape(n, VIEW_ASSOC, VIEW_SLOT)
     eq = slots[:, :, 0] == u_skey[:, None]
     found = jnp.logical_and(jnp.any(eq, axis=1), u_live)
     lane = jnp.argmax(eq, axis=1).astype(jnp.int32)
     hitslot = jnp.take_along_axis(slots, lane[:, None, None], axis=1)[:, 0, :]
-    d_row = hitslot[:, 1]
+    drow = hitslot[:, 1]
     old_sum = jax.lax.bitcast_convert_type(hitslot[:, 2:_SLOT_PAY], jnp.float32)
     first_free = jnp.sum(
         (slots[:, :, 0] != INT32_MAX).astype(jnp.int32), axis=1
     )
 
-    # capped raw-sum merge for hits (a saturated voxel stops accumulating)
-    new_sum = jnp.where(
-        found[:, None], _combine_raw(old_sum, u_pay, cap), u_pay
-    )
+    # capped raw-sum merge (first-come across batches within the delta
+    # epoch, the batch form of the reference's `addPoint` gate; the cap
+    # re-applies against the main count at read/fold time)
+    old_cnt = jnp.where(found, old_sum[:, 0], 0.0)
+    u_cnt = u_pay[:, 0]
+    cap_add = jnp.clip(cap - old_cnt, 0.0, u_cnt)
+    scale = jnp.where(u_cnt > 0, cap_add / jnp.maximum(u_cnt, 1.0), 0.0)
+    u_capped = u_pay * scale[:, None]
+    new_sum = jnp.where(found[:, None], old_sum + u_capped, u_capped)
+
     d_payload = vmap.d_payload.at[
-        jnp.where(found, d_row, d_cap)
+        jnp.where(found, drow, d_cap)
     ].set(jnp.where(found[:, None], new_sum, 0.0), mode="drop")
 
     miss = jnp.logical_and(u_live, ~found)
@@ -640,7 +545,7 @@ def insert(
 
     def fold_branch(_):
         ex_skey = jnp.where(miss, u_skey, INT32_MAX)
-        ex_pay = jnp.where(miss[:, None], u_pay, 0.0)
+        ex_pay = jnp.where(miss[:, None], u_capped, 0.0)
         m_skey, m_payload, m_view, overflow = _fold_into_main(
             vmap,
             jnp.concatenate([vmap.d_skey, ex_skey]),
@@ -650,7 +555,8 @@ def insert(
         return (m_skey, m_payload, m_view) + _empty_delta(vmap) + (overflow,)
 
     def append_branch(_):
-        # segmented rank of misses within their (contiguous) bucket runs
+        # segmented rank of slot-claiming misses within their (contiguous)
+        # bucket runs
         pos = jnp.arange(n, dtype=jnp.int32)
         bhead = jnp.concatenate([jnp.ones((1,), bool), b[1:] != b[:-1]])
         seg_start = jax.lax.associative_scan(
@@ -663,22 +569,23 @@ def insert(
         slot = first_free + rank
         acc = jnp.logical_and(miss, slot < VIEW_ASSOC)
         acc_i = acc.astype(jnp.int32)
-        row = vmap.d_fill + jnp.cumsum(acc_i) - 1  # < d_cap by branch guard
+        new_drow = vmap.d_fill + jnp.cumsum(acc_i) - 1  # < d_cap by guard
         view_drop = jnp.sum(jnp.logical_and(miss, ~acc).astype(jnp.int32))
 
-        d_skey = vmap.d_skey.at[jnp.where(acc, row, d_cap)].set(
+        d_skey = vmap.d_skey.at[jnp.where(acc, new_drow, d_cap)].set(
             u_skey, mode="drop"
         )
-        d_pay2 = d_payload.at[jnp.where(acc, row, d_cap)].set(
-            u_pay, mode="drop"
+        d_pay2 = d_payload.at[jnp.where(acc, new_drow, d_cap)].set(
+            u_capped, mode="drop"
         )
-        # ONE slot scatter refreshes hit payloads and claims miss slots
+        # ONE slot scatter into the SMALL d_view: refresh hit sums and
+        # claim miss slots (dropped entries never exist anywhere)
         upd = jnp.logical_or(found, acc)
         d_view = _scatter_slots(
             vmap.d_view,
             b,
             jnp.where(found, lane, slot),
-            _slot_values(u_skey, jnp.where(found, d_row, row), new_sum),
+            _slot_values(u_skey, jnp.where(found, drow, new_drow), new_sum),
             upd,
         )
         return (
@@ -738,7 +645,17 @@ def evict_beyond(
     delta in; re-centres the packing origin on `center`.
 
     Returns (new_map, num_removed)."""
-    vmap, _ = compact(vmap, max_points_per_voxel=max_points_per_voxel)
+    cap = jnp.asarray(max_points_per_voxel, vmap.payload.dtype)
+    # fold WITHOUT the intermediate view rebuild — the re-centred sort
+    # below rebuilds it anyway (saves one C-scale row scatter)
+    m_skey, m_payload, _, _ = _fold_into_main(
+        vmap, vmap.d_skey, vmap.d_payload, cap, with_view=False
+    )
+    d_skey, d_payload, d_view, d_fill = _empty_delta(vmap)
+    vmap = vmap._replace(
+        skey=m_skey, payload=m_payload,
+        d_skey=d_skey, d_payload=d_payload, d_view=d_view, d_fill=d_fill,
+    )
     live = vmap.live()
     keys = sm.unpack_keys(sm.packed_of_skey(vmap.skey), vmap.origin)
     centers = (keys.astype(vmap.payload.dtype) + 0.5) * voxel_size

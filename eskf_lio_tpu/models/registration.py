@@ -155,31 +155,16 @@ def align(
     floats over ICI per GN iteration.
     """
     if lookup_fn is None:
-        if config.merged_lookup:
-            # fold the delta tier once per scan: the GN loop then probes
-            # ONE view instead of two (`map/voxel_map.py build_lookup`).
-            # Measured (v5e, tools/bench_gn.py): the build costs ~1.3 ms —
-            # a win only when GN runs ≳5 iterations (poor-guess regimes);
-            # the shipped default converges in 2-3, so this is opt-in.
-            lv, _ = vm.build_lookup(
-                voxmap, max_points_per_voxel=config.max_points_per_voxel
+        # ONE bucket row-gather per iteration: the map's view holds the
+        # cap-combined (main+delta) stats inline, maintained at insert
+        # time (`map/voxel_map.py` module docstring)
+        def lookup_fn(pts):
+            return vm.lookup(
+                voxmap,
+                pts,
+                voxel_size=config.map_voxel_size,
+                max_points_per_voxel=config.max_points_per_voxel,
             )
-
-            def lookup_fn(pts):
-                return vm.lookup_merged(
-                    lv,
-                    pts,
-                    voxel_size=config.map_voxel_size,
-                    origin=voxmap.origin,
-                )
-        else:
-            def lookup_fn(pts):
-                return vm.lookup(
-                    voxmap,
-                    pts,
-                    voxel_size=config.map_voxel_size,
-                    max_points_per_voxel=config.max_points_per_voxel,
-                )
 
     if reduce_fn is None:
         def reduce_fn(JTJ, JTr, num_corr):

@@ -107,7 +107,7 @@ def packed_of_skey(skey: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(skey == INT32_MAX, INT32_MAX, p)
 
 
-def sort_perm(skey: jnp.ndarray, *rows: jnp.ndarray):
+def sort_perm(skey: jnp.ndarray, *rows: jnp.ndarray, take: int | None = None):
     """Stable ascending sort by `skey` as a TWO-operand `lax.sort`
     (key, iota); every extra array rides via one row gather on the
     permutation.
@@ -117,10 +117,16 @@ def sort_perm(skey: jnp.ndarray, *rows: jnp.ndarray):
     N, so threading payload columns through the sort is a compile bomb
     (13 operands ~ 2 minutes per instance), while gathers compile in <1 s
     and run at ~0.3 ms per 32k rows.  Sort runtime is ~1.4 ms at 32k-590k
-    rows either way."""
+    rows either way.
+
+    `take=k` keeps only the first k sorted rows BEFORE the ride-along
+    gathers — when the caller immediately slices (head compaction), this
+    shrinks the gather from N rows to k."""
     n = skey.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     skey_s, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
+    if take is not None and take < n:
+        skey_s, perm = skey_s[:take], perm[:take]
     return (skey_s, perm) + tuple(r[perm] for r in rows)
 
 

@@ -186,26 +186,13 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
         # The local shard only stores owned voxels, so `hit` is the exact
         # ownership filter — a point over-claimed by two devices hits on
         # exactly one of them.
-        if config.merged_lookup:
-            lv, _ = vm.build_lookup(
-                voxmap, max_points_per_voxel=config.max_points_per_voxel
+        def lookup_fn(pts):
+            return vm.lookup(
+                voxmap,
+                pts,
+                voxel_size=config.map_voxel_size,
+                max_points_per_voxel=config.max_points_per_voxel,
             )
-
-            def lookup_fn(pts):
-                return vm.lookup_merged(
-                    lv,
-                    pts,
-                    voxel_size=config.map_voxel_size,
-                    origin=voxmap.origin,
-                )
-        else:
-            def lookup_fn(pts):
-                return vm.lookup(
-                    voxmap,
-                    pts,
-                    voxel_size=config.map_voxel_size,
-                    max_points_per_voxel=config.max_points_per_voxel,
-                )
 
         def reduce_fn(JTJ, JTr, num_corr):
             return (

@@ -237,7 +237,6 @@ def profile_lookup(n: int = 32768) -> None:
             max_points_per_voxel=cfg.max_points_per_voxel,
         )
     )(voxmap, jnp.asarray(pts), pack_cov(jnp.asarray(covs)))
-    lv, _ = jax.jit(lambda m: vm.build_lookup(m))(voxmap)
     pts_j = jnp.asarray(pts)
     R0 = jnp.eye(3)
     t0_ = jnp.zeros(3)
@@ -251,7 +250,7 @@ def profile_lookup(n: int = 32768) -> None:
             skey = sm.skey_of(packed)
             if kind == "keys":
                 return c + jnp.sum(skey[:8].astype(jnp.float32)) * 1e-20, 0.0
-            pay_raw, idx, _, found = vm._view_probe(lv.view, skey)
+            pay_raw, idx, _, found = vm._view_probe(voxmap.view, skey)
             if kind == "view":
                 return c + jnp.sum(idx[:8].astype(jnp.float32)) * 1e-20, 0.0
             hit = jnp.logical_and(found, in_range)

@@ -56,7 +56,6 @@ def main() -> int:
         max_scan_points=32768,
         max_imu_per_scan=64,
         hash_capacity_log2=19,
-        map_delta_log2=14,
     )
     seq = dataset.make_synthetic_sequence(
         duration=1.6, points_per_scan=120000, seed=3
