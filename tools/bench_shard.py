@@ -50,7 +50,6 @@ def main() -> None:
         max_scan_points=32768,
         max_imu_per_scan=64,
         hash_capacity_log2=19,
-        map_delta_log2=14,
     )
     seq = dataset.make_synthetic_sequence(
         duration=13.0, points_per_scan=120000, seed=11
