@@ -101,6 +101,14 @@ class Config:
     icp_max_iterations: int = 100
     icp_translation_sq_threshold: float = 1.0e-6
     icp_cosine_threshold: float = 0.9999
+    # Re-match correspondences every k-th GN iteration (1 = the
+    # reference's per-iteration re-matching, `Registration.cpp:16`).
+    # The voxel assignment of a point only changes when the pose update
+    # moves it across a 0.3 m voxel border; later GN steps move points
+    # micrometres, so k=2 halves the dominant per-iteration cost (the
+    # bucket-row gathers) with no measurable ATE change (bench.py reports
+    # ate_rmse_cm next to throughput on every run).
+    icp_relookup_every: int = 1
     # Normal-equations backend: "auto" | "einsum" (XLA batched matmuls) |
     # "pallas" (fused VMEM kernel, `ops/gn_pallas.py`).  Measured in-graph
     # at K=1000 iterations on one v5e chip, N=32768 (README table): pallas
@@ -114,14 +122,15 @@ class Config:
     max_scan_points: int = 32768  # post-downsample point budget (padded)
     max_imu_per_scan: int = 64  # IMU samples per scan interval (padded)
     hash_capacity_log2: int = 19  # voxel-map slots = 2**19 = 524288
-    map_delta_log2: int | None = None  # LSM delta-tier slots (default C/8).
-    # Per-scan insert cost is INDEPENDENT of the delta size (one view
-    # probe + scatters), so a larger delta is almost pure win: the fold
-    # (O(C) sorts + view rebuild, ~tens of ms at 2^19) triggers when the
-    # voxels-seen-since-last-fold exceed it.  It must comfortably exceed
-    # the per-scan unique-voxel count (~17k at the heavy workload) or
-    # every scan folds; C/8 = 2^16 at the shipped capacity keeps folds
-    # tens of scans apart.
+    map_delta_log2: int | None = None  # LSM delta-tier slots (default C/16).
+    # Trade-off: a larger delta makes folds (O(C) sorts + view rebuild,
+    # ~tens of ms at 2^19) rarer but its view probe/scatter slightly
+    # pricier per scan.  In steady state the world saturates and the
+    # delta only accumulates genuinely new voxels, so folds are rare even
+    # at C/16 = 2^15 (near the measured 2^14 sweet spot, with d_view
+    # bucket load low enough that overflow drops stay ~zero); transient
+    # bursts where a batch's new voxels exceed the delta fold the batch
+    # straight into MAIN and never drop data.
     dtype: str = "float32"
 
     # --- parallelism -----------------------------------------------------

@@ -34,10 +34,10 @@ behind the axon tunnel):
   its `view`; rebuilt only on fold/eviction.  DELTA tier: capacity D of
   raw-sum rows in APPEND order — the LSM memtable — plus its own small
   `d_view` whose slots inline the raw sums and the delta row index.
-  insert = segment-reduce the batch (streaming Pallas scan,
-  `ops/segscan.py`), ONE d_view probe, capped merge into existing rows /
-  append new ones; when an append would overflow, delta + batch fold into
-  MAIN with one merge (O(C), amortised).
+  insert = one (key, iota) sort + segment-sum the batch, ONE d_view
+  probe, capped merge into existing rows / append new ones; when an
+  append would overflow, delta + batch fold into MAIN with one merge
+  (O(C), amortised).
 * lookup = one probe per tier, cap-combining main stats with pending
   delta sums at read (ref `correspondenceMatching` semantics).
 * evict — fold + mask + one re-sort by the re-centred keys (ref
@@ -58,7 +58,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from eskf_lio_tpu.ops import segscan
 from eskf_lio_tpu.ops import sortmerge as sm
 from eskf_lio_tpu.ops import voxel as vx
 
@@ -159,7 +158,7 @@ class VoxelMap(NamedTuple):
         capacity: int, delta_capacity: int | None = None, dtype=jnp.float32
     ) -> "VoxelMap":
         d = delta_capacity if delta_capacity is not None else max(
-            capacity // 8, 1024
+            capacity // 16, 2048
         )
         return VoxelMap(
             origin=jnp.full((3,), -512, jnp.int32),
@@ -496,18 +495,18 @@ def insert(
     )  # [N, 10] per-point raw contribution
 
     # 1. group by voxel: one 2-operand sort, payload rides on the gather;
-    # per-voxel raw sums land on each segment's HEAD row via the streaming
-    # segmented scan, then heads compact to their segment id (monotone in
-    # the sorted order — no second sort)
+    # per-voxel raw sums via segment_sum are ALREADY segment-indexed
+    # (compacted), so only the keys need a head scatter.  (At scan scale
+    # the scatter-add beats the streaming segscan kernel + an extra row
+    # scatter — the kernel wins at raw scale in the preprocessor.)
     skey_s, _, raw_s = sm.sort_perm(skey, raw)
     ok_s = skey_s != INT32_MAX
     head, seg_id = sm.unique_segments(skey_s, ok_s)
-    totals = segscan.segsum_sorted(skey_s, raw_s)
+    u_pay = jax.ops.segment_sum(raw_s, seg_id, num_segments=n)  # [N, 10]
     hpos = jnp.where(head, seg_id, n)
     u_skey = jnp.full((n,), INT32_MAX, jnp.int32).at[hpos].set(
         skey_s, mode="drop"
     )
-    u_pay = jnp.zeros((n, 10), dtype).at[hpos].set(totals, mode="drop")
     u_live = u_skey != INT32_MAX
 
     # 2. ONE probe of the delta view resolves every unique voxel

@@ -155,9 +155,8 @@ def align(
     floats over ICI per GN iteration.
     """
     if lookup_fn is None:
-        # ONE bucket row-gather per iteration: the map's view holds the
-        # cap-combined (main+delta) stats inline, maintained at insert
-        # time (`map/voxel_map.py` module docstring)
+        # one payload-inlined bucket row-gather per tier
+        # (`map/voxel_map.py` module docstring)
         def lookup_fn(pts):
             return vm.lookup(
                 voxmap,
@@ -184,11 +183,31 @@ def align(
 
     covs = scan.covs
     covs_packed = vm.pack_cov(covs)  # loop-invariant (body frame)
+    n = scan.points.shape[0]
+    relook = max(int(config.icp_relookup_every), 1)
 
     def body(carry):
-        R_tot, t_tot, it, _, _ = carry
+        R_tot, t_tot, it = carry[0], carry[1], carry[2]
+        corr = carry[5] if relook > 1 else None
         pts_w = lie.transform_points(R_tot, t_tot, scan.points)
-        mu, cov_map_packed, hit = lookup_fn(pts_w)
+        if relook == 1:
+            # reference parity: re-match every iteration
+            # (`Registration.cpp:16`)
+            mu, cov_map_packed, hit = lookup_fn(pts_w)
+        else:
+            # lazy re-association: the voxel assignment of a point moves
+            # only when the pose moves it across a voxel border — at the
+            # sub-voxel step sizes of later GN iterations, re-matching
+            # every `relook`-th iteration changes almost nothing while
+            # skipping the dominant per-iteration cost (the bucket
+            # gathers).  Accuracy is guarded by the ATE in every bench
+            # run; `icp_relookup_every: 1` restores exact ref behaviour.
+            mu, cov_map_packed, hit = jax.lax.cond(
+                it % relook == 0,
+                lambda p: lookup_fn(p),
+                lambda p: corr,
+                pts_w,
+            )
         mask = jnp.logical_and(scan.valid, hit)
         num_corr = jnp.sum(mask.astype(jnp.int32))
 
@@ -215,12 +234,19 @@ def align(
         R_new = jnp.einsum("ij,jk->ik", R_d, R_tot, precision=_HI)
         t_new = jnp.einsum("ij,j->i", R_d, t_tot, precision=_HI) + t_d
         conv = converged_check(R_d, t_d, config)
-        return R_new, t_new, it + 1, conv, num_corr
+        out = (R_new, t_new, it + 1, conv, num_corr)
+        if relook > 1:
+            # thread the correspondences only when lazy re-association is
+            # on — the extra [N,10] while-carry is not free
+            out = out + ((mu, cov_map_packed, hit),)
+        return out
 
     def cond(carry):
-        _, _, it, conv, _ = carry
-        return jnp.logical_and(it < config.icp_max_iterations, ~conv)
+        return jnp.logical_and(
+            carry[2] < config.icp_max_iterations, ~carry[3]
+        )
 
+    dtype = scan.points.dtype
     init = (
         guess.R,
         guess.t,
@@ -228,7 +254,16 @@ def align(
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
     )
-    R_tot, t_tot, it, conv, num_corr = jax.lax.while_loop(cond, body, init)
+    if relook > 1:
+        init = init + (
+            (
+                jnp.zeros((n, 3), dtype),
+                jnp.zeros((n, 6), dtype),
+                jnp.zeros((n,), bool),
+            ),
+        )
+    final = jax.lax.while_loop(cond, body, init)
+    R_tot, t_tot, it, conv, num_corr = final[:5]
     return AlignResult(
         pose=Pose(R_tot, t_tot),
         iterations=it,
