@@ -31,32 +31,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = 2048
+_BLOCK = 16384
 
 
 def _kernel(key_ref, val_ref, out_ref, carry_val, carry_key):
-    """One grid step: inclusive segmented scan of a [B, W] block with a
-    cross-block carry.  The TPU grid is sequential, so the VMEM/SMEM
-    scratch carries the last segment's running sum into the next block."""
-    b = val_ref.shape[0]
-    key = key_ref[:]  # [B, 1] int32
-    val = val_ref[:]  # [B, W] f32
+    """One grid step: inclusive segmented scan along the LANE axis of a
+    [W, B] block with a cross-block carry.  The TPU grid is sequential, so
+    the VMEM/SMEM scratch carries the last segment's running sum into the
+    next block.
+
+    Transposed (struct-of-arrays) layout: the scan axis rides the 128-lane
+    dimension, so every VPU op uses full lanes — the [B, W] row layout
+    padded W=10 to 128 lanes and cost ~13x the VMEM traffic across the
+    log2(B) doubling passes."""
+    b = val_ref.shape[1]
+    key = key_ref[:]  # [1, B] int32
+    val = val_ref[:]  # [W, B] f32
 
     # in-block doubling passes: exact for sorted keys (equal keys are
     # contiguous, so key[i] == key[i-k] implies one unbroken segment)
     k = 1
     while k < b:
-        # top k rows' shifted key is junk — masked off by rowidx >= k
-        key_shift = jnp.concatenate([key[:k], key[:-k]], axis=0)
+        # first k lanes' shifted key is junk — masked off by lane >= k
+        key_shift = jnp.concatenate([key[:, :k], key[:, :-k]], axis=1)
         val_shift = jnp.concatenate(
-            [jnp.zeros((k, val.shape[1]), val.dtype), val[:-k]], axis=0
+            [jnp.zeros((val.shape[0], k), val.dtype), val[:, :-k]], axis=1
         )
-        rowidx = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
-        same = jnp.logical_and(rowidx >= k, key == key_shift)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        same = jnp.logical_and(lane >= k, key == key_shift)
         val = val + jnp.where(same, val_shift, 0.0)
         k *= 2
 
-    # cross-block carry: rows continuing the previous block's last segment
+    # cross-block carry: lanes continuing the previous block's last segment
     @pl.when(pl.program_id(0) > 0)
     def _():
         cont = key == carry_key[0, 0]
@@ -66,25 +72,26 @@ def _kernel(key_ref, val_ref, out_ref, carry_val, carry_key):
     def _():
         out_ref[:] = val
 
-    carry_val[:] = out_ref[b - 1, :][None, :]
-    carry_key[0, 0] = key[b - 1, 0]
+    carry_val[:] = out_ref[:, b - 1][:, None]
+    carry_key[0, 0] = key[0, b - 1]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block"))
 def _segscan_fwd(key, val, *, interpret: bool, block: int):
-    n, w = val.shape
+    """key [1, N] int32, val [W, N] -> inclusive segmented scan along N."""
+    w, n = val.shape
     grid = n // block
     return pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((n, w), val.dtype),
+        out_shape=jax.ShapeDtypeStruct((w, n), val.dtype),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((block, 1), lambda i: (i, 0)),
-            pl.BlockSpec((block, w), lambda i: (i, 0)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec((w, block), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((block, w), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((w, block), lambda i: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((1, w), val.dtype),
+            pltpu.VMEM((w, 1), val.dtype),
             pltpu.SMEM((1, 1), jnp.int32),
         ],
         interpret=interpret,
@@ -108,16 +115,19 @@ def segsum_sorted(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, w = vals.shape
-    if n % block != 0 or n < block:
-        # capacities are powers of two >= 2^12 in every shipped config;
-        # fall back rather than constrain tests
+    # the grid needs block | n: shrink to the largest power-of-two factor
+    # of n (capacities are 2^a or 3*2^a in every shipped config)
+    block = min(block, n & (-n))
+    if n % block != 0 or block < 64:
+        # degenerate size — fall back rather than constrain callers
         return segsum_sorted_ref(skey_sorted, vals)
     # suffix scan = forward scan of the reversed arrays (reversal keeps
-    # segments contiguous; comparisons only test equality)
-    key_r = skey_sorted[::-1][:, None]
-    val_r = vals[::-1]
+    # segments contiguous; comparisons only test equality); transposed
+    # struct-of-arrays layout so the scan axis rides the lanes
+    key_r = skey_sorted[::-1][None, :]
+    val_r = vals[::-1].T
     out_r = _segscan_fwd(key_r, val_r, interpret=interpret, block=block)
-    return out_r[::-1]
+    return out_r.T[::-1]
 
 
 def segsum_sorted_ref(
