@@ -44,14 +44,15 @@ def run(c_log2: int) -> None:
     skey = jnp.zeros((d,), jnp.int32)
     payload = jnp.zeros((d, 10), jnp.float32)
 
-    # 1. the block scatter alone (suspect A)
-    def scatter_only(view, b, slot, vals):
-        return vm._scatter_slots(view, b, slot, vals)
+    # 1. the slot scatter alone (suspect A)
+    def scatter_only(view, b, slot, vals, ok):
+        return vm._scatter_slots(view, b, slot, vals, ok)
 
     b = jnp.zeros((d,), jnp.int32)
     slot = jnp.zeros((d,), jnp.int32)
-    vals = jnp.zeros((d, vm._SLOT_PAY), jnp.int32)
-    timed_compile("scatter_slots[D]", scatter_only, m.view, b, slot, vals)
+    vals = jnp.zeros((d, vm.VIEW_SLOT), jnp.int32)
+    okm = jnp.ones((d,), bool)
+    timed_compile("scatter_slots[D]", scatter_only, m.d_view, b, slot, vals, okm)
 
     # 2. build_view alone at main capacity (scatter at E=C)
     def bv(sk, pay):
@@ -59,25 +60,25 @@ def run(c_log2: int) -> None:
 
     timed_compile("build_view[C]", bv, m.skey, m.payload)
 
-    # 3. the 13-operand sort alone at C+D rows (suspect B)
-    def sort13(sk, pk, pay, extra):
-        return vm._sort_rows(sk, pk, pay, extra)
+    # 3. the (key, iota) sort + payload gather at C+D rows
+    from eskf_lio_tpu.ops import sortmerge as smod
+
+    def sort2(sk, pay):
+        return smod.sort_perm(sk, pay)
 
     n = c + d
     timed_compile(
-        "sort_rows13[C+D]",
-        sort13,
-        jnp.zeros((n,), jnp.int32),
+        "sort_perm[C+D]",
+        sort2,
         jnp.zeros((n,), jnp.int32),
         jnp.zeros((n, 10), jnp.float32),
-        jnp.zeros((n,), jnp.int32),
     )
 
-    # 4. full compaction
-    def comp(mm, sk, pk, pay):
-        return vm._compact_into_main(mm, sk, pk, pay, cap)
+    # 4. full fold
+    def comp(mm, sk, pay):
+        return vm._fold_into_main(mm, sk, pay, cap)
 
-    timed_compile("compact_into_main", comp, m, skey, jnp.zeros((d,), jnp.int32), payload)
+    timed_compile("fold_into_main", comp, m, skey, payload)
 
     # 5. full insert (embeds compaction under lax.cond)
     pts = jnp.zeros((2048, 3), jnp.float32)
