@@ -179,6 +179,62 @@ def run_series(config: Config, seq: dataset.Sequence) -> dict:
         "ate_rmse_cm": round(ate_cm, 2),
         "compile_s": round(compile_s, 1),
         "_probe": probe,
+        "_est_positions": est,
+    }
+
+
+def run_reference_filter(seq, est_positions: np.ndarray) -> dict | None:
+    """Run the native reference-algorithm filter (`native/ref_filter.cpp`)
+    on the SAME sequence, measuring (a) the baseline scans/s denominator on
+    this host and (b) the reference-algorithm trajectory for the
+    "ATE vs reference trajectory" metric (BASELINE.md).  Returns None when
+    the native toolchain is unavailable (callers fall back to the recorded
+    round-4 constants)."""
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    binpath = os.path.join(repo, "native", "ref_filter")
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(repo, "native"), "ref_filter"],
+            capture_output=True, timeout=120, check=True,
+        )
+    except Exception:
+        if not os.path.exists(binpath):
+            return None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            seq_bin = os.path.join(td, "seq.bin")
+            traj_bin = os.path.join(td, "traj.bin")
+            dataset.save_seq_bin(seq_bin, seq)
+            out = subprocess.run(
+                [binpath, seq_bin, traj_bin],
+                capture_output=True, text=True, timeout=900, check=True,
+            )
+            stats = json.loads(out.stdout.strip().splitlines()[-1])
+            with open(traj_bin, "rb") as f:
+                n = int(np.fromfile(f, np.int64, 1)[0])
+                np.fromfile(f, np.float64, n)  # times
+                ref_xyz = np.fromfile(f, np.float64, 3 * n).reshape(n, 3)
+    except Exception:
+        return None
+    m = min(len(ref_xyz), len(est_positions))
+    gt = np.asarray(seq.gt_positions)[:m]
+    return {
+        "ref_scans_per_sec": stats["ref_scans_per_sec"],
+        "ref_threads": stats.get("threads"),
+        "ref_stages_ms": stats.get("stages_ms"),
+        "ref_gn_iters_avg": stats.get("gn_iters_avg"),
+        # the reference algorithm's own accuracy on this sequence
+        "ref_ate_rmse_cm": round(
+            metrics.ate_rmse(ref_xyz[:m], gt) * 100.0, 2
+        ),
+        # our trajectory scored against the reference trajectory — the
+        # BASELINE.md metric ("ATE vs reference trajectory")
+        "ate_vs_ref_cm": round(
+            metrics.ate_rmse(est_positions[:m], ref_xyz[:m]) * 100.0, 2
+        ),
     }
 
 
@@ -357,8 +413,10 @@ def main() -> None:
 
     # ---- phase 1: light series (continuity datapoint, fastest compile) ----
     light_cfg = make_config(LIGHT["max_raw_points"], LIGHT["max_scan_points"])
-    light = run_series(light_cfg, make_sequence(LIGHT["points_per_scan"]))
+    light_seq = make_sequence(LIGHT["points_per_scan"])
+    light = run_series(light_cfg, light_seq)
     light.pop("_probe")
+    light_est = light.pop("_est_positions")
     light.update(
         max_raw_points=LIGHT["max_raw_points"],
         max_scan_points=LIGHT["max_scan_points"],
@@ -387,8 +445,10 @@ def main() -> None:
         emit(result)
         return
     heavy_cfg = make_config(HEAVY["max_raw_points"], HEAVY["max_scan_points"])
-    heavy = run_series(heavy_cfg, make_sequence(HEAVY["points_per_scan"]))
+    heavy_seq = make_sequence(HEAVY["points_per_scan"])
+    heavy = run_series(heavy_cfg, heavy_seq)
     probe = heavy.pop("_probe")
+    heavy_est = heavy.pop("_est_positions")
     result.update(
         value=heavy["scans_per_sec"],
         vs_baseline=round(
@@ -414,6 +474,37 @@ def main() -> None:
         emit(result)
         return
     result["stages_ms"] = stage_breakdown(heavy_cfg, probe, budget_left)
+    result["elapsed_s"] = round(_elapsed(), 1)
+    emit(result)
+
+    # ---- phase 4: native reference-algorithm filter on the same data ------
+    # Runs LAST so the CPU timing is uncontended by the device phases.
+    # Yields (a) the measured scans/s denominator on THIS host (replacing
+    # the recorded round-4 constants) and (b) ate_vs_ref_cm — our
+    # trajectory scored against the reference-algorithm trajectory, the
+    # BASELINE.md metric.
+    if budget_left() < 90:
+        result["note"] = "budget exhausted before reference filter"
+        emit(result)
+        return
+    heavy_ref = run_reference_filter(heavy_seq, heavy_est)
+    if heavy_ref is not None:
+        result["heavy_ref"] = heavy_ref
+        result["vs_baseline"] = round(
+            heavy["scans_per_sec"] / heavy_ref["ref_scans_per_sec"], 2
+        )
+        result["baseline_source"] = (
+            f"measured at bench time, {heavy_ref['ref_threads']} threads"
+        )
+    else:
+        result["baseline_source"] = "recorded round-4 constants (no toolchain)"
+    if budget_left() > 30:
+        light_ref = run_reference_filter(light_seq, light_est)
+        if light_ref is not None:
+            result["light_ref"] = light_ref
+            result["light"]["vs_baseline_measured"] = round(
+                light["scans_per_sec"] / light_ref["ref_scans_per_sec"], 2
+            )
     result["elapsed_s"] = round(_elapsed(), 1)
     emit(result)
 

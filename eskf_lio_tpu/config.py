@@ -103,12 +103,20 @@ class Config:
     icp_cosine_threshold: float = 0.9999
     # Re-match correspondences every k-th GN iteration (1 = the
     # reference's per-iteration re-matching, `Registration.cpp:16`).
-    # The voxel assignment of a point only changes when the pose update
-    # moves it across a 0.3 m voxel border; later GN steps move points
-    # micrometres, so k=2 halves the dominant per-iteration cost (the
-    # bucket-row gathers) with no measurable ATE change (bench.py reports
-    # ate_rmse_cm next to throughput on every run).
+    # Blind schedule — measured k=2 gives +31 % throughput but 1.8->3.4 cm
+    # ATE, because the skipped re-match lands on the LARGE early steps.
+    # Superseded by the adaptive threshold below; kept for parity/ablation.
     icp_relookup_every: int = 1
+    # Adaptive lazy re-association (round-5): before each GN iteration,
+    # bound how far the PREVIOUS increment could have moved any scan point
+    # (theta * scan_radius + |(R-I)c + t|, c = scan centroid); if the bound
+    # is below this threshold (metres), no point can have crossed more than
+    # a sliver of its 0.3 m voxel, so the correspondences from the last
+    # re-match are reused and the dominant bucket-gather cost is skipped.
+    # Early large steps always re-match (that is where staleness costs
+    # accuracy); only the sub-threshold tail freezes.  0 disables (exact
+    # reference re-match-every-iteration).
+    icp_rematch_threshold: float = 0.01
     # Normal-equations backend: "auto" | "einsum" (XLA batched matmuls) |
     # "pallas" (fused VMEM kernel, `ops/gn_pallas.py`).  Measured in-graph
     # at K=1000 iterations on one v5e chip, N=32768 (README table): pallas
@@ -245,6 +253,8 @@ def load_config(path: str) -> Config:
         "shard_slack",
         "shard_halo",
         "gn_backend",
+        "icp_relookup_every",
+        "icp_rematch_threshold",
     ):
         if key in tpu:
             kwargs[key] = tpu[key]

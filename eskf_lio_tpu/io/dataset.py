@@ -326,6 +326,41 @@ def save_npz(path: str, seq: Sequence) -> None:
     )
 
 
+def save_seq_bin(path: str, seq: Sequence) -> None:
+    """Flat little-endian binary for the native reference-algorithm filter
+    (`native/ref_filter.cpp`): the exact sequence the TPU bench runs,
+    so the reference trajectory and the measured baseline denominator come
+    from the SAME workload.  Layout:
+
+        magic   8 bytes  "ESKFSEQ1"
+        i64     n_imu, n_scans, total_pts
+        f64     imu_t [n_imu]
+        f64     imu_gyro [n_imu, 3]
+        f64     imu_accel [n_imu, 3]
+        i64     scan_offsets [n_scans + 1]
+        f64     scan_end_t [n_scans]
+        f64     scan_t [total_pts]
+        f32     scan_xyz [total_pts, 3]
+    """
+    offsets = np.cumsum([0] + [len(s.points) for s in seq.scans]).astype(
+        np.int64
+    )
+    with open(path, "wb") as f:
+        f.write(b"ESKFSEQ1")
+        np.asarray(
+            [len(seq.imu), len(seq.scans), int(offsets[-1])], np.int64
+        ).tofile(f)
+        np.asarray([r.t for r in seq.imu], np.float64).tofile(f)
+        np.stack([r.gyro for r in seq.imu]).astype(np.float64).tofile(f)
+        np.stack([r.accel for r in seq.imu]).astype(np.float64).tofile(f)
+        offsets.tofile(f)
+        np.asarray([s.end_time for s in seq.scans], np.float64).tofile(f)
+        np.concatenate([s.t for s in seq.scans]).astype(np.float64).tofile(f)
+        np.concatenate([s.points for s in seq.scans]).astype(
+            np.float32
+        ).tofile(f)
+
+
 def load_npz(path: str) -> Sequence:
     z = np.load(path)
     imu = [

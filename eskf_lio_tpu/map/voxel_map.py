@@ -116,11 +116,16 @@ class VoxelMap(NamedTuple):
     skey: jnp.ndarray  # [C] int32
     payload: jnp.ndarray  # [C, 10] f32: count, mean(3), cov(6)
     view: jnp.ndarray  # [C/2, 128] int32 — stats-inlined, fold-rebuilt
-    # delta tier (raw sums), APPEND order, live rows = [0, d_fill)
+    # delta tier (raw sums), APPEND order.  The fill cursor is NOT carried:
+    # appends are contiguous from row 0, so the live-row count is always
+    # sum(d_skey != INT32_MAX) — derived at insert entry (`d_fill()`).  A
+    # carried scalar would have to survive shard_map out-specs, where a
+    # "replicated" cursor advanced per-shard silently diverges (the
+    # round-4 confirmed multi-device bug); a derived one is per-shard
+    # correct by construction.
     d_skey: jnp.ndarray  # [D] int32
     d_payload: jnp.ndarray  # [D, 10] f32: count, Σp(3), Σcov(6)
     d_view: jnp.ndarray  # [D/2, 128] int32 — raw-sum-inlined, per-scan
-    d_fill: jnp.ndarray  # [] int32 live delta rows
 
     @property
     def capacity(self) -> int:
@@ -129,6 +134,10 @@ class VoxelMap(NamedTuple):
     @property
     def delta_capacity(self) -> int:
         return self.d_skey.shape[0]
+
+    def d_fill(self) -> jnp.ndarray:
+        """Live delta rows, derived from liveness (appends are contiguous)."""
+        return jnp.sum((self.d_skey != INT32_MAX).astype(jnp.int32))
 
     # --- views (io/export, tests) -----------------------------------------
     @property
@@ -168,7 +177,6 @@ class VoxelMap(NamedTuple):
             d_skey=jnp.full((d,), INT32_MAX, jnp.int32),
             d_payload=jnp.zeros((d, 10), dtype),
             d_view=_empty_view(d),
-            d_fill=jnp.zeros((), jnp.int32),
         )
 
     def live(self) -> jnp.ndarray:
@@ -176,7 +184,13 @@ class VoxelMap(NamedTuple):
         return self.skey != INT32_MAX
 
     def num_voxels(self) -> jnp.ndarray:
-        """Distinct voxels across both tiers."""
+        """Distinct voxels across both tiers.
+
+        Assumes `skey` ascending — true per shard, NOT for the host view of
+        a block-sharded global array (the searchsorted dedup then
+        over-counts delta rows whose voxel is already in main; exact counts
+        for that case go through a host-side set union, see
+        tests/test_sharding.py::distinct_voxels)."""
         n_main = jnp.sum(self.live().astype(jnp.int32))
         d_live = self.d_skey != INT32_MAX
         idx = jnp.searchsorted(self.skey, self.d_skey).astype(jnp.int32)
@@ -435,7 +449,6 @@ def _empty_delta(vmap: VoxelMap):
         jnp.full((d_cap,), INT32_MAX, jnp.int32),
         jnp.zeros((d_cap, 10), vmap.payload.dtype),
         _empty_view(d_cap),
-        jnp.zeros((), jnp.int32),
     )
 
 
@@ -540,7 +553,10 @@ def insert(
 
     miss = jnp.logical_and(u_live, ~found)
     n_miss = jnp.sum(miss.astype(jnp.int32))
-    would_overflow = vmap.d_fill + n_miss > d_cap
+    # fill derived from liveness, never carried (see VoxelMap docstring) —
+    # one D-length reduction, ~free next to the probe gather above
+    d_fill = vmap.d_fill()
+    would_overflow = d_fill + n_miss > d_cap
 
     def fold_branch(_):
         ex_skey = jnp.where(miss, u_skey, INT32_MAX)
@@ -568,7 +584,7 @@ def insert(
         slot = first_free + rank
         acc = jnp.logical_and(miss, slot < VIEW_ASSOC)
         acc_i = acc.astype(jnp.int32)
-        new_drow = vmap.d_fill + jnp.cumsum(acc_i) - 1  # < d_cap by guard
+        new_drow = d_fill + jnp.cumsum(acc_i) - 1  # < d_cap by guard
         view_drop = jnp.sum(jnp.logical_and(miss, ~acc).astype(jnp.int32))
 
         d_skey = vmap.d_skey.at[jnp.where(acc, new_drow, d_cap)].set(
@@ -590,19 +606,18 @@ def insert(
         return (
             vmap.skey, vmap.payload, vmap.view,
             d_skey, d_pay2, d_view,
-            vmap.d_fill + jnp.sum(acc_i),
             view_drop,
         )
 
     (
         m_skey, m_payload, m_view,
-        o_dskey, o_dpay, o_dview, o_dfill, overflow,
+        o_dskey, o_dpay, o_dview, overflow,
     ) = jax.lax.cond(would_overflow, fold_branch, append_branch, None)
 
     new_map = VoxelMap(
         origin=vmap.origin,
         skey=m_skey, payload=m_payload, view=m_view,
-        d_skey=o_dskey, d_payload=o_dpay, d_view=o_dview, d_fill=o_dfill,
+        d_skey=o_dskey, d_payload=o_dpay, d_view=o_dview,
     )
     return new_map, dropped_range + overflow
 
@@ -620,12 +635,12 @@ def compact(
     m_skey, m_payload, m_view, overflow = _fold_into_main(
         vmap, vmap.d_skey, vmap.d_payload, cap
     )
-    d_skey, d_payload, d_view, d_fill = _empty_delta(vmap)
+    d_skey, d_payload, d_view = _empty_delta(vmap)
     return (
         VoxelMap(
             origin=vmap.origin,
             skey=m_skey, payload=m_payload, view=m_view,
-            d_skey=d_skey, d_payload=d_payload, d_view=d_view, d_fill=d_fill,
+            d_skey=d_skey, d_payload=d_payload, d_view=d_view,
         ),
         overflow,
     )
@@ -650,10 +665,10 @@ def evict_beyond(
     m_skey, m_payload, _, _ = _fold_into_main(
         vmap, vmap.d_skey, vmap.d_payload, cap, with_view=False
     )
-    d_skey, d_payload, d_view, d_fill = _empty_delta(vmap)
+    d_skey, d_payload, d_view = _empty_delta(vmap)
     vmap = vmap._replace(
         skey=m_skey, payload=m_payload,
-        d_skey=d_skey, d_payload=d_payload, d_view=d_view, d_fill=d_fill,
+        d_skey=d_skey, d_payload=d_payload, d_view=d_view,
     )
     live = vmap.live()
     keys = sm.unpack_keys(sm.packed_of_skey(vmap.skey), vmap.origin)

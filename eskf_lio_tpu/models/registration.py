@@ -185,25 +185,35 @@ def align(
     covs_packed = vm.pack_cov(covs)  # loop-invariant (body frame)
     n = scan.points.shape[0]
     relook = max(int(config.icp_relookup_every), 1)
+    # adaptive lazy re-association (see config.icp_rematch_threshold):
+    # re-match while the PREVIOUS GN increment could still have moved a
+    # point across a voxel border, then freeze the correspondences.  This
+    # dominates the blind every-k schedule: early large steps (where stale
+    # matches cost accuracy — the measured 3.44 cm ATE of k=2) always
+    # re-match, sub-threshold tail steps (where re-matching changes
+    # nothing but pays the dominant bucket-gather cost) reuse.
+    delta = float(config.icp_rematch_threshold)
+    adaptive = delta > 0.0
+    carry_corr = adaptive or relook > 1
 
     def body(carry):
         R_tot, t_tot, it = carry[0], carry[1], carry[2]
-        corr = carry[5] if relook > 1 else None
+        corr = carry[5] if carry_corr else None
+        disp_prev = carry[6] if adaptive else None
         pts_w = lie.transform_points(R_tot, t_tot, scan.points)
-        if relook == 1:
+        if not carry_corr:
             # reference parity: re-match every iteration
             # (`Registration.cpp:16`)
             mu, cov_map_packed, hit = lookup_fn(pts_w)
         else:
-            # lazy re-association: the voxel assignment of a point moves
-            # only when the pose moves it across a voxel border — at the
-            # sub-voxel step sizes of later GN iterations, re-matching
-            # every `relook`-th iteration changes almost nothing while
-            # skipping the dominant per-iteration cost (the bucket
-            # gathers).  Accuracy is guarded by the ATE in every bench
-            # run; `icp_relookup_every: 1` restores exact ref behaviour.
+            need = (
+                disp_prev > delta if adaptive else it % relook == 0
+            )
+            # the predicate is built from the psum-reduced global
+            # increment, so it is uniform across shards — the cond
+            # branches identically under shard_map
             mu, cov_map_packed, hit = jax.lax.cond(
-                it % relook == 0,
+                need,
                 lambda p: lookup_fn(p),
                 lambda p: corr,
                 pts_w,
@@ -235,10 +245,28 @@ def align(
         t_new = jnp.einsum("ij,j->i", R_d, t_tot, precision=_HI) + t_d
         conv = converged_check(R_d, t_d, config)
         out = (R_new, t_new, it + 1, conv, num_corr)
-        if relook > 1:
+        if carry_corr:
             # thread the correspondences only when lazy re-association is
             # on — the extra [N,10] while-carry is not free
             out = out + ((mu, cov_map_packed, hit),)
+        if adaptive:
+            # max displacement this increment can have caused any scan
+            # point: rotate about the scan centroid c, so the bound stays
+            # tight far from the world origin —
+            # |(R-I)p + t| <= theta*|p-c| + |(R-I)c + t|
+            w = mask.astype(pts_w.dtype)
+            n_valid = jnp.maximum(jnp.sum(w), 1.0)
+            c = jnp.sum(pts_w * w[:, None], axis=0) / n_valid
+            r_c = jnp.sqrt(
+                jnp.max(
+                    jnp.sum((pts_w - c) ** 2, axis=-1) * w,
+                )
+            )
+            cos_t = jnp.clip(0.5 * (jnp.trace(R_d) - 1.0), -1.0, 1.0)
+            theta = jnp.arccos(cos_t)
+            drift = (R_d - jnp.eye(3, dtype=pts_w.dtype)) @ c + t_d
+            disp = theta * r_c + jnp.linalg.norm(drift)
+            out = out + (disp,)
         return out
 
     def cond(carry):
@@ -254,7 +282,7 @@ def align(
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
     )
-    if relook > 1:
+    if carry_corr:
         init = init + (
             (
                 jnp.zeros((n, 3), dtype),
@@ -262,6 +290,9 @@ def align(
                 jnp.zeros((n,), bool),
             ),
         )
+    if adaptive:
+        # +inf forces a re-match on the first iteration
+        init = init + (jnp.asarray(jnp.inf, dtype),)
     final = jax.lax.while_loop(cond, body, init)
     R_tot, t_tot, it, conv, num_corr = final[:5]
     return AlignResult(

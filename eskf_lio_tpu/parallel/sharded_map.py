@@ -51,8 +51,13 @@ from eskf_lio_tpu.pipeline import odometry as odo
 from eskf_lio_tpu.types import FilterState, ImuChunk, Pose, ProcessedScan, Scan
 
 # VoxelMap fields that are replicated (not sharded over the map axis):
-# the packing origin [3] and the delta fill cursor (a scalar).
-_REPL_FIELDS = ("origin", "d_fill")
+# only the packing origin [3].  Round-4 lesson: NOTHING with per-shard
+# dynamics may be declared replicated — the delta fill cursor used to be a
+# "replicated" scalar that each shard advanced independently, and the
+# out-spec silently collapsed the divergent copies (cursor = cross-shard
+# sum => fold-on-every-insert + delta-row overwrites).  The cursor is now
+# derived from per-shard liveness inside `vm.insert`.
+_REPL_FIELDS = ("origin",)
 
 
 def shard_map(body, mesh, in_specs, out_specs, check_rep=False):

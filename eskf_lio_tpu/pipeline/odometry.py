@@ -338,6 +338,10 @@ class Odometry:
             # ref `Odometry.cpp:55-63`
             self.initialized = True
             self.t_last_update = t_end
+            # eviction clock starts at the first scan (ref `LocalMap.cpp:60`
+            # keys its period off construction time): the first eviction
+            # fires `remove_period` after start, not on scan 1
+            self.t_last_evict = t_end
             # drop IMU before the first scan end (ref `ErrorStateKF.cpp:66-69`)
             self.imu_pending = [r for r in self.imu_pending if r.t >= t_end]
             scan, _ = self._build_scan(rec)

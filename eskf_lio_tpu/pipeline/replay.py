@@ -168,7 +168,9 @@ def pack_sequence(
     # skip IMU at/before the init scan end (ref `ErrorStateKF.cpp:66-69`)
     while imu_idx < len(imu) and imu[imu_idx].t <= t_prev:
         imu_idx += 1
-    t_last_evict = -np.inf
+    # eviction clock starts at the init scan, matching
+    # `Odometry.process_scan` (first eviction `remove_period` after start)
+    t_last_evict = scans[0].end_time
 
     for rec in scans[1:]:
         t_end = rec.end_time

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from collections import deque
 from typing import Iterable, Iterator
 
@@ -53,8 +54,11 @@ class _ImuChannel:
             row["t"] = rec.t
             row["gyro"] = rec.gyro
             row["accel"] = rec.accel
-            while not self._native.push(row):  # ring full: spin (rare)
-                pass
+            while not self._native.push(row):
+                # ring full (rare): yield the core instead of busy-spinning —
+                # on a small host a hot spin starves the very consumer this
+                # push is waiting on
+                time.sleep(100e-6)
         else:
             with self._lock:
                 self._dq.append(rec)

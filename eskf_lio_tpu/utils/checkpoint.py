@@ -22,15 +22,29 @@ from eskf_lio_tpu.types import FilterState
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda a: np.asarray(a), tree)
+    # multi-host safe: a leaf of a multi-process sharded map is not fully
+    # addressable, so np.asarray would throw — route through the allgather
+    # helper (every process must call this; only process 0 writes below)
+    from eskf_lio_tpu.io.export import _host_np
+
+    return jax.tree.map(_host_np, tree)
 
 
 def save_checkpoint(path: str, odo) -> None:
-    """Snapshot an `Odometry` (or `ShardedOdometry`) run to `path`."""
-    os.makedirs(path, exist_ok=True)
-    arrays = {
+    """Snapshot an `Odometry` (or `ShardedOdometry`) run to `path`.
+
+    Multi-host: collective — every process must call it (the sharded map
+    leaves allgather across processes); only process 0 touches the
+    filesystem."""
+    arrays_host = {
         "state": _to_host(odo.state),
         "voxmap": _to_host(odo.voxmap),
+    }
+    if jax.process_index() != 0:
+        return
+    os.makedirs(path, exist_ok=True)
+    arrays = {
+        **arrays_host,
         "prev_R": np.asarray(odo.prev_R),
         "prev_t": np.asarray(odo.prev_t),
     }
@@ -56,7 +70,12 @@ def save_checkpoint(path: str, odo) -> None:
 
 def load_checkpoint(path: str, odo) -> Any:
     """Restore a snapshot into an existing `Odometry` instance (same config).
-    Returns the instance."""
+    Returns the instance.
+
+    Multi-host: collective — every process must call it with `path`
+    readable locally (shared filesystem or a pre-distributed copy); the
+    `device_put` below re-shards each global array, with every process
+    providing the full value and placing only its addressable shards."""
     z = np.load(os.path.join(path, "arrays.npz"))
     with open(os.path.join(path, "meta.pkl"), "rb") as f:
         meta = pickle.load(f)

@@ -39,6 +39,7 @@ def main() -> int:
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--ckpt", required=True)  # shared path, all processes
     args = ap.parse_args()
 
     import jax
@@ -58,8 +59,38 @@ def main() -> int:
 
     from eskf_lio_tpu.parallel.sharded_map import ShardedOdometry
 
+    seq = make_seq()
     odo = ShardedOdometry(worker_config(), n_devices=n_global)
-    odo.run(make_seq(), max_scans=6)
+    odo.run(seq, max_scans=6)
+
+    # checkpoint/resume across the multi-process mesh (SURVEY §5.4 +
+    # round-4 Weak #8): snapshot a 3-scan run (collective — the sharded
+    # map leaves allgather; only process 0 writes), restore into a fresh
+    # sharded instance in every process, continue to scan 6, and compare
+    # with the uninterrupted run above.
+    import os
+
+    from eskf_lio_tpu.utils import checkpoint as ckpt
+
+    ckpt_dir = args.ckpt
+    b = ShardedOdometry(worker_config(), n_devices=n_global)
+    b.run(seq, max_scans=3)
+    ckpt.save_checkpoint(ckpt_dir, b)
+    # all processes wait for process 0's write before loading
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ckpt_written")
+    c = ShardedOdometry(worker_config(), n_devices=n_global)
+    ckpt.load_checkpoint(ckpt_dir, c)
+    imu_rest = [r for r in seq.imu if r.t > c.t_last_update]
+    it = iter(imu_rest)
+    nxt = next(it, None)
+    for scan in seq.scans[3:6]:
+        while nxt is not None and nxt.t <= scan.end_time + 0.05:
+            c.feed_imu(nxt)
+            nxt = next(it, None)
+        c.process_scan(scan)
+    resumed = c.positions
 
     with open(args.out, "w") as f:
         json.dump(
@@ -70,6 +101,8 @@ def main() -> int:
                 "positions": odo.positions.tolist(),
                 "map_voxels": int(odo.voxmap.num_voxels()),
                 "diverged": bool(odo.diverged),
+                "resumed_positions": resumed.tolist(),
+                "resumed_map_voxels": int(c.voxmap.num_voxels()),
             },
             f,
         )

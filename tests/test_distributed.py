@@ -31,6 +31,7 @@ def test_two_process_sharded_run():
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("PALLAS_AXON_POOL_IPS", None)
     outs = [os.path.join(REPO, f".dist_out_{i}.json") for i in range(2)]
+    ckpt = os.path.join(REPO, ".dist_ckpt")
     procs = [
         subprocess.Popen(
             [
@@ -39,6 +40,7 @@ def test_two_process_sharded_run():
                 "--num-processes", "2",
                 "--process-id", str(i),
                 "--out", outs[i],
+                "--ckpt", ckpt,
             ],
             cwd=REPO,
             env=env,
@@ -63,6 +65,9 @@ def test_two_process_sharded_run():
         for o in outs:
             if os.path.exists(o):
                 os.remove(o)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     assert results[0]["global_devices"] == 4
     assert not results[0]["diverged"]
@@ -71,6 +76,18 @@ def test_two_process_sharded_run():
     p1 = np.asarray(results[1]["positions"])
     np.testing.assert_allclose(p0, p1, atol=1e-6)
     assert results[0]["map_voxels"] == results[1]["map_voxels"]
+
+    # checkpoint+resume across the 2-process mesh (round-4 Weak #8): a
+    # 3-scan snapshot restored into fresh processes and continued must
+    # match the uninterrupted 6-scan run.  Restore is exact; the remaining
+    # 3 scans re-execute the same program on the same inputs, so only
+    # XLA:CPU reduction nondeterminism separates them.
+    r0 = np.asarray(results[0]["resumed_positions"])
+    assert r0.shape == p0.shape
+    np.testing.assert_allclose(r0, p0, atol=1e-3)
+    # voxel counts: f32 noise can move a boundary point across a voxel
+    # border, so allow a handful of border voxels to differ
+    assert abs(results[0]["resumed_map_voxels"] - results[0]["map_voxels"]) <= 5
 
     # and it matches a single-process mesh of the same 4 devices
     from tests._dist_worker import make_seq, worker_config

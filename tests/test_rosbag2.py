@@ -160,6 +160,43 @@ def test_roundtrip(tmp_path, rng):
         assert rec.start_time == ts.min()
 
 
+def test_golden_fixture():
+    """Decode the byte-frozen committed fixture (tests/data/golden.db3).
+
+    Unlike the round-trip test above — whose CdrWriter shares alignment
+    logic with the reader, so a mirrored bug would pass — the golden bag's
+    payloads were assembled with explicit hand-computed offsets from the
+    XCDR1 spec (`tools/make_golden_bag.py` documents every pad byte) and
+    committed as bytes.  It uses a realistic Hesai PandarXT-32 layout:
+    x/y/z/intensity f32, f64 absolute timestamp, u16 ring, point_step 32,
+    unsorted point times, and one NaN point."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    bag = os.path.join(here, "data", "golden.db3")
+    with open(os.path.join(here, "data", "golden_expected.json")) as f:
+        exp = json.load(f)
+
+    seq = rosbag2.load_rosbag2(bag)
+    assert len(seq.imu) == len(exp["imu"])
+    for rec, e in zip(seq.imu, exp["imu"]):
+        assert abs(rec.t - e["t"]) < 1e-9
+        np.testing.assert_allclose(rec.gyro, e["gyro"], rtol=0, atol=0)
+        np.testing.assert_allclose(rec.accel, e["accel"], rtol=0, atol=0)
+
+    assert len(seq.scans) == len(exp["clouds"])
+    for rec, e in zip(seq.scans, exp["clouds"]):
+        want = e["points_time_sorted"]  # [[t, [x,y,z]], ...] time-ordered
+        assert len(rec.points) == len(want)
+        for i, (t_i, p_i) in enumerate(want):
+            assert abs(rec.t[i] - t_i) < 1e-6
+            np.testing.assert_allclose(
+                rec.points[i], np.asarray(p_i, np.float32), rtol=0, atol=0
+            )
+        assert rec.start_time == rec.t[0] and rec.end_time == rec.t[-1]
+
+
 def test_nan_points_dropped(tmp_path, rng):
     t0 = 5.0
     xyz = rng.uniform(-1, 1, size=(10, 3)).astype(np.float32)
