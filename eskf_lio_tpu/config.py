@@ -109,14 +109,20 @@ class Config:
     icp_relookup_every: int = 1
     # Adaptive lazy re-association (round-5): before each GN iteration,
     # bound how far the PREVIOUS increment could have moved any scan point
-    # (theta * scan_radius + |(R-I)c + t|, c = scan centroid); if the bound
-    # is below this threshold (metres), no point can have crossed more than
-    # a sliver of its 0.3 m voxel, so the correspondences from the last
-    # re-match are reused and the dominant bucket-gather cost is skipped.
-    # Early large steps always re-match (that is where staleness costs
-    # accuracy); only the sub-threshold tail freezes.  0 disables (exact
-    # reference re-match-every-iteration).
-    icp_rematch_threshold: float = 0.01
+    # (theta * scan_radius + |(R-I)c + t|, c = scan centroid); below this
+    # threshold (metres) the correspondences from the last re-match are
+    # reused and the bucket gathers are skipped.  MEASURED on the heavy
+    # bench (tools/ate_matrix.py, tools/probe_adaptive.py): the skip is
+    # real (align 7.5 -> 3.1 ms when fully frozen) but freezing also makes
+    # the convergence check fire early on stale matches — the increment is
+    # computed against the SAME correspondences, so it biases toward zero
+    # and the loop exits before the re-match residual is seen.  0.01 m:
+    # 91.2 scans/s at 2.14 cm vs exact 88.6 at 1.81 cm.  The sub-voxel
+    # re-matches carry mm-level signal (border points flipping voxels), so
+    # every skip-based schedule trades ATE; default OFF = exact reference
+    # re-match-every-iteration semantics.  The knob remains for
+    # throughput-first deployments.
+    icp_rematch_threshold: float = 0.0
     # Normal-equations backend: "auto" | "einsum" (XLA batched matmuls) |
     # "pallas" (fused VMEM kernel, `ops/gn_pallas.py`).  Measured in-graph
     # at K=1000 iterations on one v5e chip, N=32768 (README table): pallas
@@ -128,6 +134,19 @@ class Config:
     # --- TPU static capacities (new; no reference counterpart) -----------
     max_raw_points: int = 131072  # per-scan raw point budget (padded)
     max_scan_points: int = 32768  # post-downsample point budget (padded)
+    # Correspondence budget for the GN loop: align reads only the first
+    # `max_align_points` rows of the processed scan (the downsampler emits
+    # live voxels as a contiguous ascending-key prefix, so the slice is a
+    # free static slice).  The per-iteration map lookup is latency-bound
+    # PER QUERY ROW (~22 ns/row incl. padding, tools/probe_align_parts.py)
+    # and is ~96 % of align, so halving the query rows nearly halves the
+    # dominant stage.  Insertion still uses the full scan budget — no map
+    # data is lost.  Live voxels beyond the budget are dropped from
+    # correspondence only and counted in `align_slice_overflow`; a warm
+    # heavy sweep occupies ~13k distinct voxels (BASELINE.md: real sensors
+    # 8-20k), so 16384 does not bind in practice.  None = max_scan_points
+    # (reference parity: every downsampled point participates).
+    max_align_points: int | None = 16384
     max_imu_per_scan: int = 64  # IMU samples per scan interval (padded)
     hash_capacity_log2: int = 19  # voxel-map slots = 2**19 = 524288
     map_delta_log2: int | None = None  # LSM delta-tier slots (default C/16).
@@ -162,6 +181,12 @@ class Config:
     @property
     def hash_capacity(self) -> int:
         return 1 << self.hash_capacity_log2
+
+    @property
+    def align_capacity(self) -> int:
+        if self.max_align_points is None:
+            return self.max_scan_points
+        return min(self.max_align_points, self.max_scan_points)
 
     @property
     def map_delta_capacity(self) -> int | None:
@@ -255,6 +280,7 @@ def load_config(path: str) -> Config:
         "gn_backend",
         "icp_relookup_every",
         "icp_rematch_threshold",
+        "max_align_points",
     ):
         if key in tpu:
             kwargs[key] = tpu[key]

@@ -675,6 +675,16 @@ def evict_beyond(
     centers = (keys.astype(vmap.payload.dtype) + 0.5) * voxel_size
     dist = jnp.linalg.norm(centers - center, axis=-1)
     survive = jnp.logical_and(live, dist <= distance_threshold)
+    # skey INT32_MAX-1 is the sentinel-collision remap (`sm.skey_of`):
+    # its recovered coordinates are wrong for the one ~2^-32 voxel that
+    # hashes there, so exempt it from the geometric test (a wrongly KEPT
+    # voxel is harmless; a wrongly PLACED eviction decision is not).  The
+    # re-centred re-pack below still uses the junk coords — unavoidable
+    # without storing the packed column — so the row may be dropped by the
+    # span test or re-keyed; both remain ~2^-32 one-voxel events.
+    survive = jnp.logical_or(
+        survive, vmap.skey == INT32_MAX - jnp.int32(1)
+    )
     removed = jnp.sum(live.astype(jnp.int32)) - jnp.sum(
         survive.astype(jnp.int32)
     )

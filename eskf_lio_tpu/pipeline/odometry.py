@@ -86,8 +86,24 @@ def make_step_core(config: Config) -> Callable:
         processed = preprocess.preprocess(scan, hist, T_il, config)
 
         # 4. VGICP alignment from the base pose (ref `ErrorStateKF.cpp:127-130`)
+        # over the align-budget prefix: live voxels are a contiguous
+        # ascending-key prefix of the processed scan, so this is a free
+        # static slice; the per-iteration map lookup is latency-bound per
+        # query row (~96 % of align), so fewer rows ≈ proportionally
+        # cheaper.  Insert below still uses the full scan (no map loss);
+        # live voxels beyond the budget lose correspondence only and are
+        # counted in `align_slice_overflow` (~0 at shipped capacities).
         guess = eskf.pose_of(base)
-        res = registration.align(processed, voxmap, guess, config)
+        a_cap = config.align_capacity
+        if a_cap < config.max_scan_points:
+            aligned_scan = ProcessedScan(
+                points=processed.points[:a_cap],
+                covs=processed.covs[:a_cap],
+                valid=processed.valid[:a_cap],
+            )
+        else:
+            aligned_scan = processed
+        res = registration.align(aligned_scan, voxmap, guess, config)
 
         # 5. measurement update (ref `ErrorStateKF.cpp:132-145`)
         corrected = eskf.pose_update(base, res.pose, noise)
@@ -147,6 +163,9 @@ def make_step_core(config: Config) -> Callable:
             "dropped_points": dropped,
             "removed_voxels": removed,
             "num_scan_points": jnp.sum(processed.valid.astype(jnp.int32)),
+            "align_slice_overflow": jnp.maximum(
+                jnp.sum(processed.valid.astype(jnp.int32)) - a_cap, 0
+            ),
             # failure detection (absent in the reference, SURVEY.md 5.3):
             # a non-finite pose means the filter diverged
             "pose_finite": jnp.logical_and(

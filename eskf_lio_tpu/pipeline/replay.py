@@ -59,6 +59,7 @@ def make_replay_step(config: Config) -> Callable:
             "dropped_points": jnp.asarray(0, jnp.int32),
             "removed_voxels": jnp.asarray(0, jnp.int32),
             "num_scan_points": jnp.asarray(0, jnp.int32),
+            "align_slice_overflow": jnp.asarray(0, jnp.int32),
             "pose_finite": jnp.logical_and(
                 jnp.all(jnp.isfinite(final.p)), jnp.all(jnp.isfinite(final.q))
             ),

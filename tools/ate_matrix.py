@@ -58,6 +58,17 @@ def main() -> None:
             dataclasses.replace(heavy_cfg, max_scan_points=49152),
             bench.HEAVY["points_per_scan"],
         )
+    if on("heavy20k"):
+        # heavy capacities, light point DENSITY: separates sweep density
+        # from static capacity as the ATE driver (budget48k already showed
+        # capacity is not it)
+        run("heavy20k", heavy_cfg, bench.LIGHT["points_per_scan"])
+    if on("exact20k"):
+        run(
+            "exact20k",
+            dataclasses.replace(heavy_cfg, icp_rematch_threshold=0.0),
+            bench.LIGHT["points_per_scan"],
+        )
     if on("light"):
         light_cfg = bench.make_config(
             bench.LIGHT["max_raw_points"], bench.LIGHT["max_scan_points"]
