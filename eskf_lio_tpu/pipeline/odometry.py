@@ -370,6 +370,18 @@ class Odometry:
             self.prev_t = jnp.zeros(3)
             return {"initialized": True}
 
+        # drop records predating the filter clock (ref drops IMU before
+        # the first scan end, `ErrorStateKF.cpp:66-69`, and negative-dt
+        # samples, `:80-82`).  The init-time drop only sees what has
+        # ARRIVED; under a racing ingest thread, pre-init samples can land
+        # after init and would otherwise bloat this chunk past its static
+        # capacity (spurious overflow pre-advance — round-5 streaming
+        # equivalence failure under host load).
+        if self.imu_pending and self.imu_pending[0].t <= self.t_last_update:
+            self.imu_pending = [
+                r for r in self.imu_pending if r.t > self.t_last_update
+            ]
+
         # gating: need at least one IMU sample at/after scan end
         if not self.imu_pending or self.imu_pending[-1].t < t_end:
             return None

@@ -51,8 +51,9 @@ def _record_step_inputs(odo: Odometry, log: list) -> None:
         m = np.asarray(chunk.valid) & (np.asarray(chunk.t_rel) <= 0.0)
         for arr in (chunk.dt, chunk.t_rel, chunk.gyro, chunk.accel):
             a = np.ascontiguousarray(np.asarray(arr))
-            a = a * m.reshape(m.shape + (1,) * (a.ndim - m.ndim))
-            h.update(a.tobytes())
+            mm = m.reshape(m.shape + (1,) * (a.ndim - m.ndim))
+            a = np.where(mm, a, 0)  # not a*mask: padding rows may hold inf
+            h.update(np.ascontiguousarray(a).tobytes())
         h.update(m.tobytes())
         for arr in (*scan, do_evict):
             h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
