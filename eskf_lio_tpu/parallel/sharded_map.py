@@ -137,6 +137,13 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
         "shard_halo must stay below one voxel so the ±halo box spans at "
         "most the 8 corner voxels"
     )
+    # GN slice capped by the correspondence budget (config.align_capacity,
+    # same rationale as the single-device align slice: the lookup is
+    # latency-bound per query row); the insert slice keeps the full scan
+    # budget so no map data is lost.
+    s_cap_gn = slice_capacity(
+        config.align_capacity, n_dev, config.shard_slack
+    )
     s_cap = slice_capacity(config.max_scan_points, n_dev, config.shard_slack)
 
     repl = P()
@@ -181,7 +188,7 @@ def make_sharded_scan_step(config: Config, mesh: Mesh):
             processed.valid,
         )
         (s_pts, s_covp), s_valid, gn_overflow = _compact_slice(
-            cand, (processed.points, vm.pack_cov(processed.covs)), s_cap
+            cand, (processed.points, vm.pack_cov(processed.covs)), s_cap_gn
         )
         sliced = ProcessedScan(
             points=s_pts, covs=vm.unpack_cov(s_covp), valid=s_valid
