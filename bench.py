@@ -29,15 +29,14 @@ state (async dispatch acks are NOT trusted).  Warmup batch first so compile
 time is excluded; warmup and timed batches have identical shapes.
 
 Baseline denominator: the reference (C++/OpenMP, `Odometry.cpp:99-109`)
-publishes no numbers and cannot run here (no ROS/Open3D), so the
-denominator is MEASURED from `native/ref_baseline.cpp` — a fresh
-C++17/OpenMP implementation of the reference's per-scan algorithm
-(hash-map voxel grid, per-point lookup, GN accumulation, running-mean
-insert) on this host's 2 vCPUs: 5.54 scans/s at the heavy workload
-(120k-point sweeps), 64.24 scans/s at the light one (BASELINE.md
-"measured denominator").  vs_baseline = measured scans/sec / that number;
-`vs_realtime` (scans/sec / 10 Hz) is also reported since real-time is the
-usability bar.
+publishes no numbers and cannot run here (no ROS/Open3D), so phase 4
+builds and runs `native/ref_filter` — a complete, fresh C++17/OpenMP
+implementation of the reference's per-scan algorithm driven by the EXACT
+bench sequence — and measures both the denominator on the bench host
+(labelled with its thread count) and the reference-algorithm trajectory
+for `ate_vs_ref_cm` (BASELINE.md round-5 section).  vs_baseline =
+measured scans/sec / that number; `vs_realtime` (scans/sec / 10 Hz) is
+also reported since real-time is the usability bar.
 """
 
 import argparse
@@ -410,7 +409,9 @@ def stage_breakdown(config: Config, probe: dict, budget_left) -> dict:
     if budget_left() <= 0:
         out["skipped_after"] = "insert"
         return out
-    out["evict"] = round(_timeit_scanned(evict_scanned, 5), 3)
+    # K=20: at K=5 the ~30 ms dispatch baseline is 4x the ~1.4 ms stage
+    # and the subtraction leaves no resolution
+    out["evict"] = round(_timeit_scanned(evict_scanned, 20), 3)
 
     core = odo.make_step_core(config)
 

@@ -187,11 +187,13 @@ def align(
     relook = max(int(config.icp_relookup_every), 1)
     # adaptive lazy re-association (see config.icp_rematch_threshold):
     # re-match while the PREVIOUS GN increment could still have moved a
-    # point across a voxel border, then freeze the correspondences.  This
-    # dominates the blind every-k schedule: early large steps (where stale
-    # matches cost accuracy — the measured 3.44 cm ATE of k=2) always
-    # re-match, sub-threshold tail steps (where re-matching changes
-    # nothing but pays the dominant bucket-gather cost) reuse.
+    # point across a voxel border, then freeze the correspondences.
+    # Dominates the blind every-k schedule (freezes the tail, not the
+    # large early steps) but STILL trades ATE — any freeze makes the
+    # convergence check fire early on stale matches (measured: 1.81 ->
+    # 2.14 cm at delta=1 cm on the heavy bench) — so the shipped default
+    # is 0 (off, reference parity); the knob serves throughput-first
+    # deployments.  Measurements: tools/probe_adaptive.py, BASELINE.md.
     delta = float(config.icp_rematch_threshold)
     adaptive = delta > 0.0
     carry_corr = adaptive or relook > 1
