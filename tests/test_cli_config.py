@@ -27,6 +27,11 @@ def test_load_reference_schema():
     # tpu section
     assert cfg.max_raw_points == 131072
     assert cfg.hash_capacity == 1 << 19
+    assert cfg.max_align_points == 16384
+    assert cfg.align_capacity == 16384
+    # align capacity can never exceed the scan budget
+    assert Config(max_scan_points=8192).align_capacity == 8192
+    assert Config(max_align_points=None).align_capacity == 32768
 
 
 def test_noise_sigma_units():
